@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from diarizen_tpu.core.audio import Audio, get_wav_info, read_wav, write_wav
+from diarizen_tpu.core.io_rttm import load_rttm, load_scp, load_uem, rttm_to_arrays
+from diarizen_tpu.core.segments import Segment
+
+
+@pytest.fixture
+def wav_file(tmp_path, rng):
+    sr = 16000
+    wave = rng.standard_normal((2, sr * 2)).astype(np.float32) * 0.1
+    path = tmp_path / "test.wav"
+    write_wav(path, wave, sr)
+    return path, wave, sr
+
+
+def test_read_roundtrip(wav_file):
+    path, wave, sr = wav_file
+    out, out_sr = read_wav(path)
+    assert out_sr == sr
+    assert out.shape == wave.shape
+    np.testing.assert_allclose(out, wave, atol=1e-4)  # PCM16 quantization
+
+
+def test_reference_example_wav_loads():
+    out, sr = read_wav("/root/reference/example/EN2002a_30s.wav")
+    assert sr == 16000
+    assert out.shape[0] >= 1
+    assert abs(out.shape[1] / sr - 30.0) < 0.5
+
+
+def test_get_wav_info(wav_file):
+    path, wave, sr = wav_file
+    n, rate, ch = get_wav_info(path)
+    assert (n, rate, ch) == (wave.shape[1], sr, 2)
+
+
+def test_audio_downmix_and_crop(wav_file):
+    path, wave, sr = wav_file
+    audio = Audio(sample_rate=sr, mono="downmix")
+    full, _ = audio(path)
+    assert full.shape == (1, wave.shape[1])
+    np.testing.assert_allclose(full[0], wave.mean(0), atol=1e-4)
+
+    crop, _ = audio.crop(path, Segment(0.5, 1.0))
+    assert crop.shape == (1, sr // 2)
+    np.testing.assert_allclose(crop[0], wave.mean(0)[sr // 2 : sr], atol=1e-4)
+
+
+def test_audio_crop_pads_out_of_bounds(wav_file):
+    path, wave, sr = wav_file
+    audio = Audio(sample_rate=sr, mono="downmix")
+    crop, _ = audio.crop(path, Segment(1.5, 3.0))  # file is 2 s long
+    assert crop.shape == (1, int(1.5 * sr))
+    assert np.all(crop[0, sr // 2 :] == 0)
+
+
+def test_rttm_uem_scp_io(tmp_path):
+    rttm = tmp_path / "ref.rttm"
+    rttm.write_text(
+        "SPEAKER rec1 1 0.5 2.0 <NA> <NA> alice <NA> <NA>\n"
+        "SPEAKER rec1 1 3.0 1.0 <NA> <NA> bob <NA> <NA>\n"
+        "SPEAKER rec2 1 0.0 5.0 <NA> <NA> carol <NA> <NA>\n"
+    )
+    anns = load_rttm(rttm)
+    assert set(anns) == {"rec1", "rec2"}
+    assert anns["rec1"].labels() == ["alice", "bob"]
+
+    data, sessions, speakers = rttm_to_arrays(anns)
+    assert sessions == ["rec1", "rec2"]
+    assert len(data) == 3
+    assert speakers["rec1"] == ["alice", "bob"]
+
+    uem = tmp_path / "all.uem"
+    uem.write_text("rec1 1 0.0 10.0\nrec1 1 20.0 30.0\n")
+    uems = load_uem(uem)
+    assert len(uems["rec1"]) == 2
+
+    scp = tmp_path / "wav.scp"
+    scp.write_text("rec1 /path/to/rec1.wav\n")
+    assert load_scp(scp) == {"rec1": "/path/to/rec1.wav"}
