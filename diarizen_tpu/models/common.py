@@ -1,0 +1,171 @@
+"""Shared functional NN primitives for diarizen_tpu models.
+
+Design: models are pure functions over explicit parameter pytrees (nested
+dicts of jnp arrays). Parameters are stored in float32; forward passes run in
+a caller-chosen ``compute_dtype`` (bfloat16 on TPU for MXU throughput), with
+layer norms and softmax statistics kept in float32 for stability. All matmuls
+pass ``preferred_element_type=float32`` so the MXU accumulates in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = dict
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def lecun_normal(rng, shape, fan_in, dtype=jnp.float32):
+    return jax.random.normal(rng, shape, dtype) * (1.0 / np.sqrt(fan_in))
+
+
+def kaiming_uniform(rng, shape, fan_in, dtype=jnp.float32):
+    # matches torch nn.Linear / nn.Conv1d default reset_parameters
+    bound = np.sqrt(1.0 / fan_in) * np.sqrt(3.0)
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
+def init_linear(rng, in_features: int, out_features: int, bias: bool = True) -> Params:
+    kw, kb = jax.random.split(rng)
+    p = {"w": kaiming_uniform(kw, (in_features, out_features), in_features)}
+    if bias:
+        bound = np.sqrt(1.0 / in_features)
+        p["b"] = jax.random.uniform(kb, (out_features,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_layer_norm(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def init_conv1d(
+    rng, in_channels: int, out_channels: int, kernel: int, bias: bool = True, groups: int = 1
+) -> Params:
+    """Weight layout (K, Cin//groups, Cout) — XLA 'WIO'."""
+    kw, kb = jax.random.split(rng)
+    fan_in = (in_channels // groups) * kernel
+    p = {"w": kaiming_uniform(kw, (kernel, in_channels // groups, out_channels), fan_in)}
+    if bias:
+        bound = np.sqrt(1.0 / fan_in)
+        p["b"] = jax.random.uniform(kb, (out_channels,), jnp.float32, -bound, bound)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# forward primitives
+
+
+def linear(p: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    dtype = compute_dtype or x.dtype
+    y = jnp.dot(x.astype(dtype), p["w"].astype(dtype), preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis, computed in f32, output in x.dtype."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def group_norm(p: Params, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm over (B, T, C) with channel-last layout, stats per (group, batch)
+    over (T, C//G). Affine params shaped (C,)."""
+    orig_dtype = x.dtype
+    b, t, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b, t, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def conv1d(
+    p: Params,
+    x: jnp.ndarray,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """1-D convolution on (B, T, C) channel-last input, weight (K, Cin//g, Cout)."""
+    dtype = compute_dtype or x.dtype
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        p["w"].astype(dtype),
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
+    if not train or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch default, required for checkpoint parity."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def grad_multiply(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Identity forward, gradient scaled by `scale`
+    (reference: wav2vec2/model.py:116-117 GradMultiply 0.1 on conv output)."""
+    return x * scale + jax.lax.stop_gradient(x * (1.0 - scale))
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q, k, v: (B, H, T, D). bias: broadcastable to (B, H, T, T), added to logits
+    pre-softmax. Logits and softmax in f32 (max-subtraction stabilization as in
+    reference components.py:449-486); output cast back to q.dtype.
+
+    T <= 799 for all diarization chunks, so full T x T materialization is fine
+    on TPU (SURVEY.md section 7 'hard parts'); a Pallas flash kernel is an
+    optional optimization, not needed for correctness.
+    """
+    d = q.shape[-1]
+    scale = 1.0 / np.sqrt(d)
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q * scale, k, preferred_element_type=jnp.float32
+    ).astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = dropout(dropout_rng, weights, dropout_rate, train)
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd", weights.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)

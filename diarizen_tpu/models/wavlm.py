@@ -1,0 +1,483 @@
+"""WavLM / wav2vec2 speech encoder in pure functional JAX.
+
+Capability parity with the reference factory (`diarizen/models/module/wav2vec2/
+model.py:215,779` + `components.py`): 7-layer conv front-end (stride 320),
+feature projection, convolutional positional embedding, transformer encoder
+with WavLM gated relative-position bias, per-layer heterogeneous head subsets /
+FF widths (pruned s80 checkpoints), LayerDrop, GradMultiply on conv output,
+waveform layer-norm for Large, and `extract_features` returning all
+intermediate hidden states (num_layers + 1 including the projected input).
+
+TPU-first design notes:
+  * channel-last (B, T, C) layouts throughout so XLA convs/matmuls tile onto
+    the MXU without transposes;
+  * layers are unrolled at trace time (12/24 layers) — this natively supports
+    the heterogeneous per-layer shapes of pruned checkpoints where a stacked
+    `lax.scan` could not without padding (SURVEY.md section 7 'hard parts');
+  * the relative-position bucket matrix is a static numpy computation cached
+    per sequence length, so only an (T, T) gather + gating runs on device;
+  * attention materializes the (H, T, T) bias — T <= 799 for all diarization
+    chunks, well within VMEM-friendly sizes.
+
+The gated rel-pos bias is always derived from layer 0's embedding table and
+shared by all layers (each layer applies its own query-dependent gate), which
+matches reference eval semantics (components.py:668-725); the reference's
+train-time LayerDrop quirk of losing the bias when layer 0 is dropped is not
+replicated (we always compute the bias).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diarizen_tpu.models.common import (
+    Params,
+    attention,
+    conv1d,
+    dropout,
+    gelu,
+    grad_multiply,
+    group_norm,
+    init_conv1d,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+)
+
+# default conv stack: 16 kHz -> 50 Hz, 512 channels (components.py:1219-1221)
+DEFAULT_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
+    (512, 10, 5),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 3, 2),
+    (512, 2, 2),
+    (512, 2, 2),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class WavLMConfig:
+    """Static architecture description (hashable; usable as a jit static arg)."""
+
+    extractor_mode: str = "group_norm"  # "group_norm" (Base) | "layer_norm" (Large)
+    conv_layers: Tuple[Tuple[int, int, int], ...] = DEFAULT_CONV_LAYERS
+    conv_bias: bool = False
+    embed_dim: int = 768
+    projection_dropout: float = 0.1
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    num_layers: int = 12
+    use_attention: Tuple[bool, ...] = (True,) * 12
+    use_feed_forward: Tuple[bool, ...] = (True,) * 12
+    total_num_heads: Tuple[int, ...] = (12,) * 12
+    remaining_heads: Tuple[Tuple[int, ...], ...] = tuple(tuple(range(12)) for _ in range(12))
+    num_buckets: int = 320
+    max_distance: int = 800
+    attention_dropout: float = 0.1
+    ff_interm_features: Tuple[int, ...] = (3072,) * 12
+    ff_interm_dropout: float = 0.0
+    dropout: float = 0.1
+    layer_norm_first: bool = False  # False = post-LN (Base), True = pre-LN (Large)
+    layer_drop: float = 0.05
+    normalize_waveform: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.total_num_heads[0]
+
+    @property
+    def conv_out_channels(self) -> int:
+        return self.conv_layers[-1][0]
+
+    @property
+    def frame_stride(self) -> int:
+        s = 1
+        for _, _, stride in self.conv_layers:
+            s *= stride
+        return s
+
+    def num_frames(self, num_samples: int) -> int:
+        n = num_samples
+        for _, kernel, stride in self.conv_layers:
+            n = max(0, (n - kernel) // stride + 1)
+        return n
+
+    @staticmethod
+    def base() -> "WavLMConfig":
+        return WavLMConfig()
+
+    @staticmethod
+    def large() -> "WavLMConfig":
+        n = 24
+        return WavLMConfig(
+            extractor_mode="layer_norm",
+            conv_bias=False,
+            embed_dim=1024,
+            num_layers=n,
+            use_attention=(True,) * n,
+            use_feed_forward=(True,) * n,
+            total_num_heads=(16,) * n,
+            remaining_heads=tuple(tuple(range(16)) for _ in range(n)),
+            ff_interm_features=(4096,) * n,
+            layer_norm_first=True,
+            layer_drop=0.1,
+            normalize_waveform=True,
+        )
+
+    @staticmethod
+    def from_reference_dict(cfg: dict) -> "WavLMConfig":
+        """Build from the reference factory-kwargs dict format
+        (`wavlm_config.py` presets / pruned checkpoint `config` payloads)."""
+        n = cfg["encoder_num_layers"]
+        return WavLMConfig(
+            extractor_mode=cfg["extractor_mode"],
+            conv_layers=tuple(tuple(l) for l in cfg["extractor_conv_layer_config"]),
+            conv_bias=cfg["extractor_conv_bias"],
+            embed_dim=cfg["encoder_embed_dim"],
+            projection_dropout=cfg.get("encoder_projection_dropout", 0.1),
+            pos_conv_kernel=cfg["encoder_pos_conv_kernel"],
+            pos_conv_groups=cfg["encoder_pos_conv_groups"],
+            num_layers=n,
+            use_attention=tuple(cfg.get("encoder_use_attention", [True] * n)),
+            use_feed_forward=tuple(cfg.get("encoder_use_feed_forward", [True] * n)),
+            total_num_heads=tuple(cfg["encoder_total_num_heads"]),
+            remaining_heads=tuple(tuple(h) for h in cfg["encoder_remaining_heads"]),
+            num_buckets=cfg["encoder_num_buckets"],
+            max_distance=cfg["encoder_max_distance"],
+            attention_dropout=cfg.get("encoder_attention_dropout", 0.1),
+            ff_interm_features=tuple(cfg["encoder_ff_interm_features"]),
+            ff_interm_dropout=cfg.get("encoder_ff_interm_dropout", 0.0),
+            dropout=cfg.get("encoder_dropout", 0.1),
+            layer_norm_first=cfg["encoder_layer_norm_first"],
+            layer_drop=cfg.get("encoder_layer_drop", 0.05),
+            normalize_waveform=cfg["normalize_waveform"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def init_wavlm_params(rng: jax.Array, cfg: WavLMConfig) -> Params:
+    keys = iter(jax.random.split(rng, 64 + 8 * cfg.num_layers))
+
+    conv_blocks = []
+    in_ch = 1
+    for i, (out_ch, kernel, stride) in enumerate(cfg.conv_layers):
+        block: Params = {"conv": init_conv1d(next(keys), in_ch, out_ch, kernel, bias=cfg.conv_bias)}
+        if (cfg.extractor_mode == "group_norm" and i == 0) or cfg.extractor_mode == "layer_norm":
+            block["norm"] = init_layer_norm(out_ch)
+        conv_blocks.append(block)
+        in_ch = out_ch
+
+    def trunc_normal(key, shape, std=0.02):
+        return std * jax.random.normal(key, shape)
+
+    d = cfg.embed_dim
+    # pos-conv weight-norm split: w = g * v / ||v|| with the norm over (K, Cin)
+    # per output position of dim=2 in torch layout (out, in, k) -> norm per k.
+    k = cfg.pos_conv_kernel
+    pos_v = init_conv1d(next(keys), d, d, k, bias=True, groups=cfg.pos_conv_groups)
+    # torch weight_norm(dim=2) on (out, in/g, k): norm over (out, in/g) per k
+    g = jnp.linalg.norm(pos_v["w"].reshape(k, -1), axis=-1)  # (k,)
+
+    params: Params = {
+        "feature_extractor": {"conv_layers": conv_blocks},
+        "feature_projection": {
+            "norm": init_layer_norm(cfg.conv_out_channels),
+            "proj": init_linear(next(keys), cfg.conv_out_channels, d),
+        },
+        "pos_conv": {"v": pos_v["w"], "g": g, "b": pos_v["b"]},
+        "encoder_norm": init_layer_norm(d),
+        "rel_attn_embed": trunc_normal(next(keys), (cfg.num_buckets, cfg.total_num_heads[0])),
+        "layers": [],
+    }
+
+    hd = cfg.head_dim
+    for i in range(cfg.num_layers):
+        layer: Params = {
+            "attn_norm": init_layer_norm(d),
+            "final_norm": init_layer_norm(d),
+        }
+        if cfg.use_attention[i]:
+            nh = len(cfg.remaining_heads[i])
+            layer["attn"] = {
+                "q": init_linear(next(keys), d, nh * hd),
+                "k": init_linear(next(keys), d, nh * hd),
+                "v": init_linear(next(keys), d, nh * hd),
+                "out": init_linear(next(keys), nh * hd, d),
+                "gru_linear": init_linear(next(keys), hd, 8),
+                "gru_const": jnp.ones((1, cfg.total_num_heads[i], 1, 1)),
+            }
+        if cfg.use_feed_forward[i]:
+            ff = cfg.ff_interm_features[i]
+            layer["ff"] = {
+                "in": init_linear(next(keys), d, ff),
+                "out": init_linear(next(keys), ff, d),
+            }
+        params["layers"].append(layer)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# relative position bias
+
+
+@lru_cache(maxsize=32)
+def _rel_pos_buckets(seq_len: int, num_buckets: int, max_distance: int) -> np.ndarray:
+    """Static (T, T) bucket index matrix (reference components.py:629-666)."""
+    context = np.arange(seq_len, dtype=np.int64)[:, None]
+    memory = np.arange(seq_len, dtype=np.int64)[None, :]
+    rel = memory - context
+    nb = num_buckets // 2
+    buckets = (rel > 0).astype(np.int64) * nb
+    rel = np.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1).astype(np.float32) / max_exact)
+        / np.log(max_distance / max_exact)
+        * (nb - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, nb - 1)
+    buckets += np.where(is_small, rel, large)
+    return buckets
+
+
+def compute_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jnp.ndarray:
+    """(H_total, T, T) additive attention bias from layer 0's bucket embedding."""
+    buckets = jnp.asarray(_rel_pos_buckets(seq_len, cfg.num_buckets, cfg.max_distance))
+    values = params["rel_attn_embed"][buckets]  # (T, T, H)
+    return jnp.transpose(values, (2, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def _feature_extractor(params: Params, cfg: WavLMConfig, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    """(B, num_samples) -> (B, F, conv_out). Conv stack + GN/LN + GELU."""
+    x = x[:, :, None].astype(compute_dtype)  # (B, T, 1)
+    for i, (block, (out_ch, kernel, stride)) in enumerate(
+        zip(params["feature_extractor"]["conv_layers"], cfg.conv_layers)
+    ):
+        x = conv1d(block["conv"], x, stride=stride)
+        if "norm" in block:
+            if cfg.extractor_mode == "group_norm" and i == 0:
+                x = group_norm(block["norm"], x, num_groups=out_ch)
+            else:
+                x = layer_norm(block["norm"], x)
+        x = gelu(x)
+    return x
+
+
+def _pos_conv(params: Params, cfg: WavLMConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Weight-normed grouped conv positional embedding (components.py:317-380)."""
+    p = params["pos_conv"]
+    k = cfg.pos_conv_kernel
+    v = p["v"].astype(jnp.float32)  # (K, Cin/g, Cout)
+    norm = jnp.linalg.norm(v.reshape(k, -1), axis=-1, keepdims=True)  # per-k
+    w = (p["g"].astype(jnp.float32)[:, None] * v.reshape(k, -1) / jnp.maximum(norm, 1e-12)).reshape(v.shape)
+    y = conv1d({"w": w.astype(x.dtype), "b": p["b"]}, x, padding=k // 2, groups=cfg.pos_conv_groups)
+    if k % 2 == 0:
+        y = y[:, :-1]
+    return gelu(y)
+
+
+def _self_attention(
+    layer: Params,
+    cfg: WavLMConfig,
+    i: int,
+    x: jnp.ndarray,
+    position_bias: Optional[jnp.ndarray],
+    train: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """WavLM gated rel-pos self-attention (components.py:668-725)."""
+    p = layer["attn"]
+    b, t, d = x.shape
+    total_heads = cfg.total_num_heads[i]
+    remaining = cfg.remaining_heads[i]
+    nh = len(remaining)
+    hd = cfg.head_dim
+
+    bias = None
+    if position_bias is not None:
+        # query-dependent GRU-style gate, computed over ALL total_num_heads
+        q_heads = x.reshape(b, t, total_heads, hd).transpose(0, 2, 1, 3)  # (B, Ht, T, hd)
+        gates = linear(p["gru_linear"], q_heads)  # (B, Ht, T, 8)
+        gates = jax.nn.sigmoid(gates.astype(jnp.float32).reshape(b, total_heads, t, 2, 4).sum(-1))
+        gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, Ht, T)
+        gate = gate_a * (gate_b * p["gru_const"].astype(jnp.float32)[:, :, :, 0] - 1.0) + 2.0
+        bias = gate[:, :, :, None] * position_bias[None].astype(jnp.float32)  # (B, Ht, T, T)
+        bias = bias[:, np.asarray(remaining, dtype=np.int64)]  # (B, nh, T, T)
+
+    def split_heads(h):
+        return h.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+
+    q = split_heads(linear(p["q"], x))
+    k = split_heads(linear(p["k"], x))
+    v = split_heads(linear(p["v"], x))
+    drop_rng = jax.random.fold_in(rng, 2 * i) if (train and rng is not None) else None
+    out = attention(q, k, v, bias=bias, dropout_rng=drop_rng,
+                    dropout_rate=cfg.attention_dropout, train=train)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
+    return linear(p["out"], out)
+
+
+def _feed_forward(layer: Params, cfg: WavLMConfig, x: jnp.ndarray, train: bool,
+                  rng: Optional[jax.Array], i: int) -> jnp.ndarray:
+    p = layer["ff"]
+    h = gelu(linear(p["in"], x))
+    if train and rng is not None:
+        h = dropout(jax.random.fold_in(rng, 1000 + i), h, cfg.ff_interm_dropout, train)
+    y = linear(p["out"], h)
+    if train and rng is not None:
+        y = dropout(jax.random.fold_in(rng, 2000 + i), y, cfg.dropout, train)
+    return y
+
+
+def _encoder_layer(
+    layer: Params,
+    cfg: WavLMConfig,
+    i: int,
+    x: jnp.ndarray,
+    position_bias: Optional[jnp.ndarray],
+    train: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Pre-LN (Large) or post-LN (Base) encoder layer (components.py:879-958)."""
+    has_attn = cfg.use_attention[i] and "attn" in layer
+    if has_attn:
+        residual = x
+        h = layer_norm(layer["attn_norm"], x) if cfg.layer_norm_first else x
+        h = _self_attention(layer, cfg, i, h, position_bias, train, rng)
+        if train and rng is not None:
+            h = dropout(jax.random.fold_in(rng, 3000 + i), h, cfg.dropout, train)
+        x = residual + h
+
+    has_ff = cfg.use_feed_forward[i] and "ff" in layer
+    if cfg.layer_norm_first:
+        if has_ff:
+            x = x + _feed_forward(layer, cfg, layer_norm(layer["final_norm"], x), train, rng, i)
+    else:
+        # post-norm: LNs always applied even when sublayers are pruned away
+        x = layer_norm(layer["attn_norm"], x)
+        if has_ff:
+            x = x + _feed_forward(layer, cfg, x, train, rng, i)
+        x = layer_norm(layer["final_norm"], x)
+    return x
+
+
+def wavlm_extract_features(
+    params: Params,
+    cfg: WavLMConfig,
+    waveforms: jnp.ndarray,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+    feature_grad_mult: float = 0.1,
+) -> List[jnp.ndarray]:
+    """(B, num_samples) -> list of num_layers+1 hidden states (B, F, D).
+
+    Mirrors reference `Wav2Vec2Model.extract_features` (model.py:67-119):
+    waveform layer-norm (Large), conv front-end, GradMultiply, projection,
+    pos-conv, per-layer intermediate collection.
+    """
+    if cfg.normalize_waveform:
+        mean = jnp.mean(waveforms, axis=-1, keepdims=True)
+        var = jnp.var(waveforms, axis=-1, keepdims=True)
+        waveforms = (waveforms - mean) * jax.lax.rsqrt(var + 1e-5)
+
+    x = _feature_extractor(params, cfg, waveforms, compute_dtype)
+    if feature_grad_mult != 1.0 and train:
+        x = grad_multiply(x, feature_grad_mult)
+
+    # feature projection
+    fp = params["feature_projection"]
+    x = layer_norm(fp["norm"], x)
+    x = linear(fp["proj"], x)
+    if train and rng is not None:
+        x = dropout(jax.random.fold_in(rng, 10_000), x, cfg.projection_dropout, train)
+
+    # transformer preprocess: pos conv (+ LN for post-norm stacks) + dropout
+    x = x + _pos_conv(params, cfg, x)
+    if not cfg.layer_norm_first:
+        # Transformer is built with layer_norm_first = not encoder flag
+        # (components.py:1594-1599): Base applies LN after pos-conv here.
+        x = layer_norm(params["encoder_norm"], x)
+    if train and rng is not None:
+        x = dropout(jax.random.fold_in(rng, 10_001), x, cfg.dropout, train)
+
+    position_bias = compute_position_bias(params, cfg, x.shape[1]).astype(jnp.float32)
+
+    hidden_states = [x]
+    for i, layer in enumerate(params["layers"]):
+        new_x = _encoder_layer(layer, cfg, i, x, position_bias, train, rng)
+        if train and cfg.layer_drop > 0.0 and rng is not None:
+            keep = jax.random.bernoulli(
+                jax.random.fold_in(rng, 20_000 + i), 1.0 - cfg.layer_drop
+            )
+            new_x = jnp.where(keep, new_x, x)
+        x = new_x
+        hidden_states.append(x)
+    return hidden_states
+
+
+def wavlm_forward(
+    params: Params,
+    cfg: WavLMConfig,
+    waveforms: jnp.ndarray,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Final-layer features (B, F, D), with final LN for pre-norm stacks."""
+    hs = wavlm_extract_features(
+        params, cfg, waveforms, train=train, rng=rng, compute_dtype=compute_dtype
+    )
+    x = hs[-1]
+    if cfg.layer_norm_first:
+        x = layer_norm(params["encoder_norm"], x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# analytics (reference: get_num_params/get_num_macs counters threaded through
+# components.py — used by the pruning recipe's sparsity objective)
+
+
+def count_params(params: Params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))
+
+
+def count_macs(cfg: WavLMConfig, num_samples: int = 16000) -> int:
+    """Analytic MAC count for 1 s of audio (parity with components.py counters)."""
+    macs = 0
+    t = num_samples
+    in_ch = 1
+    for out_ch, kernel, stride in cfg.conv_layers:
+        t = (t - kernel) // stride + 1
+        macs += t * kernel * in_ch * out_ch
+        in_ch = out_ch
+    d = cfg.embed_dim
+    macs += t * in_ch * d  # projection
+    macs += t * cfg.pos_conv_kernel * d * d // cfg.pos_conv_groups  # pos conv
+    hd = cfg.head_dim
+    for i in range(cfg.num_layers):
+        if cfg.use_attention[i]:
+            nh = len(cfg.remaining_heads[i])
+            macs += 4 * t * nh * d * hd + 2 * t * t * nh * hd
+        if cfg.use_feed_forward[i]:
+            macs += 2 * t * d * cfg.ff_interm_features[i]
+    return macs

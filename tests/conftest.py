@@ -20,6 +20,12 @@ import jax
 import numpy as np
 import pytest
 
+# belt-and-braces: if jax was already imported by a pytest plugin before this
+# conftest ran, the env vars above were captured too late — force via config
+# (works as long as no backend has been initialized yet).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # persistent compilation cache: the suite is dominated by tiny-kernel compile
 # time on first run; cached reruns are fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/diarizen_tpu_jax_cache")
