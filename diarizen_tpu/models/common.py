@@ -103,6 +103,9 @@ def conv1d(
 ) -> jnp.ndarray:
     """1-D convolution on (B, T, C) channel-last input, weight (K, Cin//g, Cout)."""
     dtype = compute_dtype or x.dtype
+    # no preferred_element_type here: its conv transpose (backward) rule
+    # rejects the resulting f32-cotangent x low-precision-kernel mix; the TPU
+    # conv unit accumulates in f32 internally regardless of output dtype.
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         p["w"].astype(dtype),
@@ -110,11 +113,10 @@ def conv1d(
         padding=[(padding, padding)],
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
     if "b" in p:
-        y = y + p["b"].astype(jnp.float32)
-    return y.astype(dtype)
+        y = y + p["b"].astype(dtype)
+    return y
 
 
 def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
