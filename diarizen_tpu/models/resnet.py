@@ -1,0 +1,257 @@
+"""WeSpeaker ResNet34 speaker-embedding model in JAX (inference path).
+
+Capability parity with the reference
+(pyannote-audio/pyannote/audio/models/embedding/wespeaker/resnet.py:213-398 +
+blocks/pooling.py:32-129): fbank (80 mel) treated as a 1-channel 2-D image,
+ResNet34 (m_channels 32, blocks [3,4,6,3]), masked weighted statistics
+pooling (mean + unbiased std), Linear -> 256-d embedding
+(two_emb_layer=False — the wespeaker-voxceleb-resnet34-LM configuration,
+whose forward returns the first segment embedding, wespeaker/__init__.py:204).
+
+TPU-first: NHWC layout with (H=mel, W=time) so convs tile onto the MXU;
+BatchNorm is eval-mode (running stats) — the embedding model is used
+pretrained and frozen in every reference recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diarizen_tpu.models.fbank import num_fbank_frames, wespeaker_fbank
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    m_channels: int = 32
+    num_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    feat_dim: int = 80
+    embed_dim: int = 256
+    two_emb_layer: bool = False
+
+    @property
+    def stats_dim(self) -> int:
+        return (self.feat_dim // 8) * self.m_channels * 8
+
+    def num_frames(self, num_samples: int) -> int:
+        """Output frames for raw-audio input (fbank + 3 stride-2 stages)."""
+        t = num_fbank_frames(num_samples)
+        for _ in range(3):
+            t = (t + 1) // 2  # conv k=3 s=2 p=1
+        return t
+
+
+def _conv2d(p: Params, x: jnp.ndarray, stride: int = 1, padding: int = 1) -> jnp.ndarray:
+    """NHWC conv; weight stored HWIO."""
+    return jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _bn(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Eval-mode BatchNorm2d over the channel (last) axis."""
+    scale = (p["scale"] * jax.lax.rsqrt(p["var"] + eps)).astype(x.dtype)
+    bias = (p["bias"] - p["mean"] * p["scale"] * jax.lax.rsqrt(p["var"] + eps)).astype(x.dtype)
+    return x * scale + bias
+
+
+def _basic_block(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    out = jax.nn.relu(_bn(p["bn1"], _conv2d(p["conv1"], x, stride=stride)))
+    out = _bn(p["bn2"], _conv2d(p["conv2"], out))
+    if "shortcut_conv" in p:
+        sc = _bn(p["shortcut_bn"], _conv2d(p["shortcut_conv"], x, stride=stride, padding=0))
+    else:
+        sc = x
+    return jax.nn.relu(out + sc)
+
+
+def stats_pool(
+    features: jnp.ndarray, weights: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """Weighted statistics pooling (reference blocks/pooling.py:44-75).
+
+    features : (B, D, T)
+    weights : (B, T) or (B, S, T) — nearest-interpolated to T if needed
+    returns (B, 2D) or (B, S, 2D)
+    """
+    if weights is None:
+        mean = jnp.mean(features, axis=-1)
+        std = jnp.std(features, axis=-1, ddof=1)
+        return jnp.concatenate([mean, std], axis=-1)
+
+    squeeze = weights.ndim == 2
+    if squeeze:
+        weights = weights[:, None, :]  # (B, 1, T)
+
+    t = features.shape[-1]
+    tw = weights.shape[-1]
+    if tw != t:
+        # nearest interpolation (torch F.interpolate mode='nearest')
+        src = np.floor(np.arange(t) * (tw / t)).astype(np.int64)
+        weights = weights[..., src]
+
+    w = weights[:, :, None, :].astype(jnp.float32)  # (B, S, 1, T)
+    f = features[:, None, :, :].astype(jnp.float32)  # (B, 1, D, T)
+    v1 = jnp.sum(w, axis=-1) + 1e-8  # (B, S, 1)
+    mean = jnp.sum(f * w, axis=-1) / v1  # (B, S, D)
+    dx2 = jnp.square(f - mean[..., None])
+    v2 = jnp.sum(jnp.square(w), axis=-1)
+    var = jnp.sum(dx2 * w, axis=-1) / (v1 - v2 / v1 + 1e-8)
+    std = jnp.sqrt(var)
+    out = jnp.concatenate([mean, std], axis=-1)  # (B, S, 2D)
+    return out[:, 0] if squeeze else out
+
+
+def resnet_forward(
+    params: Params,
+    cfg: ResNetConfig,
+    fbank: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, T, F=80) fbank [+ optional (B, T') or (B, S, T') weights] ->
+    (B, embed) or (B, S, embed) speaker embeddings."""
+    x = jnp.transpose(fbank, (0, 2, 1))[..., None]  # (B, F, T, 1)
+    x = jax.nn.relu(_bn(params["bn1"], _conv2d(params["conv1"], x)))
+    for li, blocks in enumerate([params["layer1"], params["layer2"], params["layer3"], params["layer4"]]):
+        for bi, bp in enumerate(blocks):
+            stride = 2 if (li > 0 and bi == 0) else 1
+            x = _basic_block(bp, x, stride)
+    # (B, F/8, T/8, C) -> (B, D = C * F/8, T/8) matching torch
+    # rearrange 'batch dimension channel frames' where torch layout is NCHW
+    # (B, C, F/8, T/8) -> (B, (F/8 * C)? ) — torch TSTP rearranges
+    # "batch dimension channel frames" from (B, C, H, W): dimension=C,
+    # channel=H -> (B, C*H, W)
+    b, h, w, c = x.shape
+    feats = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, c * h, w)  # (B, C*H, T/8)
+    stats = stats_pool(feats, weights)  # (..., 2*C*H)
+    emb = stats @ params["seg1"]["w"].astype(stats.dtype) + params["seg1"]["b"].astype(stats.dtype)
+    if cfg.two_emb_layer:
+        out = jax.nn.relu(emb)
+        # seg_bn_1 is affine=False BatchNorm1d
+        out = (out - params["seg_bn1"]["mean"]) * jax.lax.rsqrt(params["seg_bn1"]["var"] + 1e-5)
+        emb = out @ params["seg2"]["w"].astype(out.dtype) + params["seg2"]["b"].astype(out.dtype)
+    return emb
+
+
+def embed_waveforms(
+    params: Params,
+    cfg: ResNetConfig,
+    waveforms: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Raw (B, num_samples) waveforms -> embeddings; weights at any frame
+    resolution (nearest-interpolated), reference wespeaker/__init__.py:190-204."""
+    fbank = wespeaker_fbank(waveforms)
+    return resnet_forward(params, cfg, fbank, weights)
+
+
+# ---------------------------------------------------------------------------
+# converter
+
+
+def _conv_p(sd: Dict, key: str) -> Params:
+    # torch OIHW -> HWIO
+    return {"w": np.ascontiguousarray(np.asarray(sd[f"{key}.weight"]).transpose(2, 3, 1, 0))}
+
+
+def _bn_p(sd: Dict, key: str) -> Params:
+    return {
+        "scale": np.asarray(sd[f"{key}.weight"]),
+        "bias": np.asarray(sd[f"{key}.bias"]),
+        "mean": np.asarray(sd[f"{key}.running_mean"]),
+        "var": np.asarray(sd[f"{key}.running_var"]),
+    }
+
+
+def resnet_params_from_torch(state_dict: Dict, cfg: ResNetConfig) -> Params:
+    """Reference WeSpeaker ResNet torch state dict ('resnet.'-stripped or
+    raw 'conv1.' keys) -> params pytree."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k[len("resnet."):] if k.startswith("resnet.") else k
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    params: Params = {"conv1": _conv_p(sd, "conv1"), "bn1": _bn_p(sd, "bn1")}
+    in_planes = cfg.m_channels
+    for li, n_blocks in enumerate(cfg.num_blocks, start=1):
+        planes = cfg.m_channels * (2 ** (li - 1))
+        blocks: List[Params] = []
+        for bi in range(n_blocks):
+            key = f"layer{li}.{bi}"
+            bp: Params = {
+                "conv1": _conv_p(sd, f"{key}.conv1"),
+                "bn1": _bn_p(sd, f"{key}.bn1"),
+                "conv2": _conv_p(sd, f"{key}.conv2"),
+                "bn2": _bn_p(sd, f"{key}.bn2"),
+            }
+            stride = 2 if (li > 1 and bi == 0) else 1
+            if stride != 1 or in_planes != planes:
+                bp["shortcut_conv"] = _conv_p(sd, f"{key}.shortcut.0")
+                bp["shortcut_bn"] = _bn_p(sd, f"{key}.shortcut.1")
+            blocks.append(bp)
+            in_planes = planes
+        params[f"layer{li}"] = blocks
+
+    params["seg1"] = {
+        "w": np.ascontiguousarray(np.asarray(sd["seg_1.weight"]).T),
+        "b": np.asarray(sd["seg_1.bias"]),
+    }
+    if cfg.two_emb_layer:
+        params["seg_bn1"] = {
+            "mean": np.asarray(sd["seg_bn_1.running_mean"]),
+            "var": np.asarray(sd["seg_bn_1.running_var"]),
+        }
+        params["seg2"] = {
+            "w": np.ascontiguousarray(np.asarray(sd["seg_2.weight"]).T),
+            "b": np.asarray(sd["seg_2.bias"]),
+        }
+    return params
+
+
+def init_resnet_params(rng: jax.Array, cfg: ResNetConfig) -> Params:
+    """Random init (for tests; production uses pretrained WeSpeaker weights)."""
+    keys = iter(jax.random.split(rng, 256))
+
+    def conv(k, cin, cout, ksize=3):
+        fan = cin * ksize * ksize
+        return {"w": jax.random.normal(next(keys), (ksize, ksize, cin, cout)) / np.sqrt(fan)}
+
+    def bn(c):
+        return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+                "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+    params: Params = {"conv1": conv(next(keys), 1, cfg.m_channels), "bn1": bn(cfg.m_channels)}
+    in_planes = cfg.m_channels
+    for li, n_blocks in enumerate(cfg.num_blocks, start=1):
+        planes = cfg.m_channels * (2 ** (li - 1))
+        blocks = []
+        for bi in range(n_blocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            bp = {
+                "conv1": conv(next(keys), in_planes, planes),
+                "bn1": bn(planes),
+                "conv2": conv(next(keys), planes, planes),
+                "bn2": bn(planes),
+            }
+            if stride != 1 or in_planes != planes:
+                bp["shortcut_conv"] = conv(next(keys), in_planes, planes, 1)
+                bp["shortcut_bn"] = bn(planes)
+            blocks.append(bp)
+            in_planes = planes
+        params[f"layer{li}"] = blocks
+    d = cfg.stats_dim * 2
+    params["seg1"] = {
+        "w": jax.random.normal(next(keys), (d, cfg.embed_dim)) / np.sqrt(d),
+        "b": jnp.zeros((cfg.embed_dim,)),
+    }
+    return params

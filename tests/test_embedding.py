@@ -1,0 +1,166 @@
+"""WeSpeaker ResNet34 + fbank parity tests.
+
+ResNet oracle: the reference torch implementation, loaded standalone from
+/root/reference with its pyannote deps stubbed (test oracle only, not source).
+Fbank: invariant checks (kaldi formulae are self-contained here).
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diarizen_tpu.models.fbank import kaldi_fbank, num_fbank_frames, wespeaker_fbank
+from diarizen_tpu.models.resnet import (
+    ResNetConfig,
+    embed_waveforms,
+    init_resnet_params,
+    resnet_forward,
+    resnet_params_from_torch,
+    stats_pool,
+)
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/pyannote-audio/pyannote/audio"
+needs_reference = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not available"
+)
+
+
+def _load_ref_resnet():
+    """Load reference resnet.py with stubbed pyannote package modules."""
+
+    def load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    # stub the package tree so absolute imports inside resnet.py resolve
+    for pkg in [
+        "pyannote", "pyannote.audio", "pyannote.audio.models",
+        "pyannote.audio.models.blocks", "pyannote.audio.utils",
+        "pyannote.audio.models.embedding", "pyannote.audio.models.embedding.wespeaker",
+    ]:
+        sys.modules.setdefault(pkg, types.ModuleType(pkg))
+    load("pyannote.audio.utils.receptive_field", f"{REF}/utils/receptive_field.py")
+    load("pyannote.audio.models.blocks.pooling", f"{REF}/models/blocks/pooling.py")
+    return load(
+        "pyannote.audio.models.embedding.wespeaker.resnet",
+        f"{REF}/models/embedding/wespeaker/resnet.py",
+    )
+
+
+@needs_reference
+def test_resnet34_matches_reference():
+    mod = _load_ref_resnet()
+    torch.manual_seed(11)
+    # small variant for speed: m_channels=8, feat 80, embed 64
+    ref = mod.ResNet(
+        mod.BasicBlock, [1, 1, 1, 1], m_channels=8, feat_dim=80, embed_dim=64,
+        two_emb_layer=False,
+    ).eval()
+
+    cfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), feat_dim=80, embed_dim=64)
+    params = resnet_params_from_torch(ref.state_dict(), cfg)
+
+    rng = np.random.default_rng(5)
+    fbank = rng.standard_normal((3, 100, 80)).astype(np.float32)
+    weights = rng.uniform(0, 1, (3, 4, 100)).astype(np.float32)  # 4 "speakers"
+
+    with torch.no_grad():
+        _, expected = ref(torch.from_numpy(fbank))
+        expected_w = ref(torch.from_numpy(fbank), weights=torch.from_numpy(weights))[1]
+
+    got = resnet_forward(params, cfg, jnp.asarray(fbank))
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(), rtol=1e-3, atol=1e-3)
+
+    got_w = resnet_forward(params, cfg, jnp.asarray(fbank), weights=jnp.asarray(weights))
+    np.testing.assert_allclose(np.asarray(got_w), expected_w.numpy(), rtol=1e-3, atol=1e-3)
+
+
+@needs_reference
+def test_stats_pool_matches_reference():
+    sys_mod = _load_ref_resnet()  # registers pooling module
+    StatsPool = sys.modules["pyannote.audio.models.blocks.pooling"].StatsPool
+    pool = StatsPool()
+    rng = np.random.default_rng(6)
+    seq = rng.standard_normal((2, 16, 25)).astype(np.float32)
+
+    # no weights
+    with torch.no_grad():
+        exp = pool(torch.from_numpy(seq)).numpy()
+    np.testing.assert_allclose(np.asarray(stats_pool(jnp.asarray(seq))), exp, rtol=1e-4, atol=1e-5)
+
+    # per-speaker weights incl. all-zero speaker (edge case from
+    # tests/test_stats_pool.py in the reference suite)
+    w = rng.uniform(0, 1, (2, 3, 25)).astype(np.float32)
+    w[0, 1] = 0.0
+    with torch.no_grad():
+        exp = pool(torch.from_numpy(seq), weights=torch.from_numpy(w)).numpy()
+    got = np.asarray(stats_pool(jnp.asarray(seq), jnp.asarray(w)))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+    # frame-count mismatch -> nearest interpolation
+    w2 = rng.uniform(0, 1, (2, 3, 50)).astype(np.float32)
+    with torch.no_grad():
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            exp = pool(torch.from_numpy(seq), weights=torch.from_numpy(w2)).numpy()
+    got = np.asarray(stats_pool(jnp.asarray(seq), jnp.asarray(w2)))
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-4)
+
+
+def test_fbank_shapes_and_invariants():
+    assert num_fbank_frames(16000) == 98
+    assert num_fbank_frames(400) == 1
+    assert num_fbank_frames(399) == 0
+
+    rng = np.random.default_rng(7)
+    wave = rng.standard_normal((2, 16000)).astype(np.float32) * 0.05
+    feats = np.asarray(kaldi_fbank(jnp.asarray(wave * 32768.0)))
+    assert feats.shape == (2, 98, 80)
+    assert np.isfinite(feats).all()
+
+    # a pure 1 kHz tone must put its peak energy in the mel bin containing 1 kHz
+    t = np.arange(32000) / 16000.0
+    tone = 0.3 * np.sin(2 * np.pi * 1000.0 * t, dtype=np.float64).astype(np.float32)
+    f = np.asarray(kaldi_fbank(jnp.asarray(tone[None] * 32768.0)))[0]
+    peak_bin = int(np.median(np.argmax(f, axis=-1)))
+    # mel bin center frequencies
+    def mel(x):
+        return 1127.0 * np.log(1 + x / 700.0)
+
+    def imel(m):
+        return 700.0 * (np.exp(m / 1127.0) - 1)
+
+    delta = (mel(8000) - mel(20)) / 81
+    center = imel(mel(20) + (peak_bin + 1) * delta)
+    assert abs(center - 1000.0) < 120.0, f"tone peak at {center:.0f} Hz"
+
+    # CMN: per-utterance mean of wespeaker features ~ 0
+    wf = np.asarray(wespeaker_fbank(jnp.asarray(wave)))
+    np.testing.assert_allclose(wf.mean(axis=1), 0.0, atol=1e-4)
+
+
+def test_embed_waveforms_shapes():
+    cfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=64)
+    params = init_resnet_params(jax.random.PRNGKey(0), cfg)
+    wave = jnp.zeros((2, 16000))
+    emb = embed_waveforms(params, cfg, wave)
+    assert emb.shape == (2, 64)
+    # masked per-speaker
+    w = jnp.ones((2, 3, 98))
+    emb = embed_waveforms(params, cfg, wave, weights=w)
+    assert emb.shape == (2, 3, 64)
+    assert cfg.num_frames(16000) == 13  # 98 -> 49 -> 25 -> 13
