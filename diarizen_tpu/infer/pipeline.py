@@ -1,0 +1,269 @@
+"""Full speaker-diarization pipeline: segment -> count -> embed -> cluster ->
+reconstruct -> RTTM.
+
+Capability parity with the reference orchestration
+(diarizen/pipelines/inference.py:121-192 + pyannote
+pipelines/speaker_diarization.py:427-636 + pipelines/utils/diarization.py):
+  1. force SDM channel 0;
+  2. sliding-window segmentation (hard powerset multilabel, skip-aggregation);
+  3. optional median filter (size (1, 11, 1), reflect);
+  4. frame-level speaker count (trim warm-up, overlap-add, rint);
+  5. per-(chunk, speaker) masked embeddings with exclude-overlap fallback;
+  6. global clustering (AHC or VBx);
+  7. cap count, mark inactive speakers (-2), reconstruct, keep top-count
+     speakers per frame, binarize at 0.5 -> Annotation -> RTTM.
+
+TPU-first deltas (numerics preserved):
+  * the embedding model runs ONCE per chunk with an (S, frames) weight matrix
+    instead of once per (chunk, speaker) — the reference recomputes the whole
+    ResNet34 S times per chunk (speaker_diarization.py:295-356); masked stats
+    pooling makes the two mathematically identical;
+  * fixed batch shapes everywhere -> one compile per model.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import median_filter
+
+from diarizen_tpu.core.segments import (
+    Annotation,
+    SlidingWindow,
+    SlidingWindowFeature,
+)
+from diarizen_tpu.infer.sliding import SlidingInference, receptive_field_window
+from diarizen_tpu.models.eend import EendConfig
+from diarizen_tpu.models.resnet import ResNetConfig, embed_waveforms
+from diarizen_tpu.ops.aggregate import aggregate, trim
+from diarizen_tpu.ops.binarize import Binarize
+
+
+def speaker_count(
+    binarized: SlidingWindowFeature,
+    frames: SlidingWindow,
+    warm_up: Tuple[float, float] = (0.1, 0.1),
+) -> SlidingWindowFeature:
+    """Frame-level instantaneous speaker count
+    (pipelines/utils/diarization.py:121-157)."""
+    trimmed = trim(binarized, warm_up=warm_up)
+    count = aggregate(
+        SlidingWindowFeature(
+            np.sum(trimmed.data, axis=-1, keepdims=True), trimmed.sliding_window
+        ),
+        frames,
+        hamming=False,
+        missing=0.0,
+        skip_average=False,
+    )
+    count.data = np.rint(count.data).astype(np.uint8)
+    return count
+
+
+def to_diarization(
+    segmentations: SlidingWindowFeature,
+    count: SlidingWindowFeature,
+) -> SlidingWindowFeature:
+    """Aggregate clustered segmentations and keep the top-count[t] speakers
+    per frame (pipelines/utils/diarization.py:192-239)."""
+    activations = aggregate(
+        segmentations,
+        count.sliding_window,
+        hamming=False,
+        missing=0.0,
+        skip_average=True,
+    )
+    _, num_speakers = activations.data.shape
+    max_speakers_per_frame = int(np.max(count.data)) if count.data.size else 0
+    if num_speakers < max_speakers_per_frame:
+        activations.data = np.pad(
+            activations.data, ((0, 0), (0, max_speakers_per_frame - num_speakers))
+        )
+
+    # align on the common frame extent
+    n = min(len(activations.data), len(count.data))
+    act = activations.data[:n]
+    cnt = count.data[:n, 0]
+
+    sorted_speakers = np.argsort(-act, axis=-1)
+    binary = np.zeros_like(act)
+    for t in range(n):
+        for i in range(int(cnt[t])):
+            binary[t, sorted_speakers[t, i]] = 1.0
+    return SlidingWindowFeature(binary, activations.sliding_window)
+
+
+def reconstruct(
+    segmentations: SlidingWindowFeature,
+    hard_clusters: np.ndarray,
+    count: SlidingWindowFeature,
+) -> SlidingWindowFeature:
+    """Map local speakers to clusters: NaN-init (chunks, frames, clusters),
+    max over same-cluster locals (speaker_diarization.py:377-425)."""
+    num_chunks, num_frames, _ = segmentations.data.shape
+    num_clusters = int(np.max(hard_clusters)) + 1
+    clustered = np.full((num_chunks, num_frames, num_clusters), np.nan)
+    for c in range(num_chunks):
+        cluster = hard_clusters[c]
+        for k in np.unique(cluster):
+            if k == -2:
+                continue
+            clustered[c, :, k] = np.max(
+                segmentations.data[c][:, cluster == k], axis=1
+            )
+    return to_diarization(
+        SlidingWindowFeature(clustered, segmentations.sliding_window), count
+    )
+
+
+class EmbeddingInference:
+    """Batched per-chunk masked speaker embeddings.
+
+    One compiled forward at fixed (batch, window) shape; each chunk produces
+    S embeddings via the (S, frames) weight matrix of the masked stats pool.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: ResNetConfig,
+        window_size: int,
+        num_speakers: int,
+        batch_size: int = 16,
+    ):
+        self.cfg = cfg
+        self.window_size = window_size
+        self.batch_size = batch_size
+        self.num_speakers = num_speakers
+
+        # params as jit args, not closure constants (see sliding.py note)
+        self._params = jax.device_put(params)
+
+        def fwd(params, chunks, weights):
+            # chunks (B, window), weights (B, S, F) -> (B, S, embed)
+            return embed_waveforms(params, cfg, chunks, weights)
+
+        jitted = jax.jit(fwd)
+        self._fwd = lambda chunks, weights: jitted(self._params, chunks, weights)
+
+    @property
+    def min_num_samples(self) -> int:
+        """Smallest crop yielding >= 1 embedding frame (the reference probes
+        this by bisection, speaker_verification.py:677-691; analytic here)."""
+        from diarizen_tpu.models.fbank import FRAME_LENGTH
+
+        return FRAME_LENGTH
+
+    def __call__(self, chunks: np.ndarray, weights: np.ndarray) -> np.ndarray:
+        """(N, window) waveform chunks + (N, S, F) weights -> (N, S, D)."""
+        n = chunks.shape[0]
+        outs = []
+        for b0 in range(0, n, self.batch_size):
+            cb = chunks[b0 : b0 + self.batch_size]
+            wb = weights[b0 : b0 + self.batch_size]
+            n_real = cb.shape[0]
+            if n_real < self.batch_size:
+                cb = np.pad(cb, ((0, self.batch_size - n_real), (0, 0)))
+                wb = np.pad(wb, ((0, self.batch_size - n_real), (0, 0), (0, 0)))
+            out = self._fwd(jnp.asarray(cb), jnp.asarray(wb))
+            outs.append(np.asarray(out[:n_real], dtype=np.float64))
+        return np.concatenate(outs) if outs else np.zeros((0, self.num_speakers, 256))
+
+
+@dataclass
+class DiarizationPipeline:
+    """End-to-end diarization: __call__(waveform, sample_rate, uri) -> Annotation."""
+
+    seg_inference: SlidingInference
+    emb_inference: EmbeddingInference
+    clustering: Callable  # AgglomerativeClustering | VBxClustering
+    eend_cfg: EendConfig
+    min_speakers: int = 1
+    max_speakers: int = 8
+    apply_median_filtering: bool = True
+    embedding_exclude_overlap: bool = True
+    segmentation_step: float = 0.1  # ratio of duration
+
+    def __call__(
+        self,
+        waveform: np.ndarray,
+        sample_rate: int = 16000,
+        uri: Optional[str] = None,
+        num_speakers: Optional[int] = None,
+    ) -> Annotation:
+        if waveform.ndim == 1:
+            waveform = waveform[None]
+        waveform = waveform[0:1]  # force SDM channel 0 (inference.py:127-128)
+
+        segmentations = self.seg_inference(waveform, sample_rate, soft=False)
+        if self.apply_median_filtering:
+            segmentations.data = median_filter(
+                segmentations.data, size=(1, 11, 1), mode="reflect"
+            )
+        binarized = segmentations  # powerset output is already binary
+
+        frames = receptive_field_window(self.eend_cfg)
+        count = speaker_count(binarized, frames, warm_up=(0.0, 0.0))
+
+        ann = Annotation(uri=uri)
+        if count.data.size == 0 or np.nanmax(count.data) == 0:
+            return ann  # no speech at all (speaker_diarization.py:503-509)
+
+        embeddings = self.get_embeddings(waveform[0], binarized)
+
+        min_clusters = num_speakers or self.min_speakers
+        max_clusters = num_speakers or self.max_speakers
+        hard_clusters, _, _ = self.clustering(
+            embeddings, binarized.data,
+            min_clusters=min_clusters, max_clusters=max_clusters,
+        )
+
+        count.data = np.minimum(count.data, max_clusters).astype(np.int8)
+        inactive = np.sum(binarized.data, axis=1) == 0
+        hard_clusters[inactive] = -2
+
+        discrete = reconstruct(segmentations, hard_clusters, count)
+        to_annotation = Binarize(
+            onset=0.5, offset=0.5, min_duration_on=0.0, min_duration_off=0.0
+        )
+        result = to_annotation(discrete)
+        result.uri = uri
+        result = result.rename_labels(
+            {label: f"SPEAKER_{i:02d}" for i, label in enumerate(result.labels())}
+        )
+        return result
+
+    def get_embeddings(
+        self, waveform: np.ndarray, binarized: SlidingWindowFeature
+    ) -> np.ndarray:
+        """(num_chunks, S, D) embeddings with exclude-overlap mask fallback
+        (speaker_diarization.py:228-360, vectorized per chunk)."""
+        num_chunks, num_frames, num_speakers = binarized.data.shape
+        window_size = self.seg_inference.window_size
+        step_size = self.seg_inference.step_size
+
+        masks = np.nan_to_num(binarized.data, nan=0.0).astype(np.float32)
+        if self.embedding_exclude_overlap:
+            min_num_samples = self.emb_inference.min_num_samples
+            min_num_frames = math.ceil(num_frames * min_num_samples / window_size)
+            clean = masks * (np.sum(masks, axis=2, keepdims=True) < 2)
+            use_clean = np.sum(clean, axis=1) > min_num_frames  # (chunks, spks)
+            weights = np.where(use_clean[:, None, :], clean, masks)
+        else:
+            weights = masks
+
+        # crop chunk waveforms (pad at file end)
+        num_samples = waveform.shape[0]
+        chunks = np.zeros((num_chunks, window_size), dtype=np.float32)
+        for c in range(num_chunks):
+            s0 = c * step_size
+            seg = waveform[s0 : s0 + window_size]
+            chunks[c, : len(seg)] = seg
+
+        weights = np.transpose(weights, (0, 2, 1))  # (chunks, S, frames)
+        return self.emb_inference(chunks, weights)

@@ -1,0 +1,151 @@
+"""Sliding-window inference engine.
+
+Capability parity with the reference engine (pyannote-audio/pyannote/audio/
+core/inference.py:237-409 `slide`): unfold the waveform into
+(num_chunks, C, window) chunks at `step` seconds, run the segmentation model
+in fixed-size batches, convert powerset log-scores to (hard or soft)
+multilabel, and return a (num_chunks, frames, K) SlidingWindowFeature with
+the chunk SlidingWindow (skip_aggregation mode — stitching happens in
+ops/aggregate.py).
+
+TPU-first design:
+  * fixed (batch, window) shapes — ONE compiled forward regardless of file
+    length; the last partial batch is padded with zero chunks and sliced off,
+    so no recompiles across files;
+  * powerset -> multilabel conversion runs on device inside the same jit
+    (an argmax + one-hot matmul fused into the forward);
+  * windows are gathered on device from the full waveform (one host->device
+    transfer per file, windows never materialized on host).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diarizen_tpu.core.segments import SlidingWindow, SlidingWindowFeature
+from diarizen_tpu.models.eend import EendConfig, eend_forward
+from diarizen_tpu.ops.powerset import Powerset
+
+
+class SlidingInference:
+    """Callable: (waveform (C, num_samples), sample_rate) ->
+    SlidingWindowFeature (num_chunks, num_frames, K)."""
+
+    def __init__(
+        self,
+        params,
+        state,
+        cfg: EendConfig,
+        duration: Optional[float] = None,
+        step: Optional[float] = None,
+        batch_size: int = 32,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.duration = duration if duration is not None else cfg.chunk_size
+        self.step = step if step is not None else 0.1 * self.duration
+        self.batch_size = batch_size
+        self.powerset = cfg.powerset
+        self.sample_rate = cfg.sample_rate
+        self.window_size = round(self.duration * self.sample_rate)
+        self.step_size = round(self.step * self.sample_rate)
+
+        mapping = jnp.asarray(self.powerset.mapping)  # (P, K)
+
+        # params/state live on device and are passed as jit ARGUMENTS —
+        # closing over them would bake ~100 M weights into the HLO as
+        # constants (breaks remote compilation and bloats the executable)
+        self._params = jax.device_put(params)
+        self._state = jax.device_put(state)
+
+        def fwd(params, state, wave_device, starts, soft: bool):
+            # wave_device: (num_samples_padded,) on device; starts: (B,) int32.
+            # vmapped dynamic_slice, NOT an advanced-index gather: a
+            # (B, window)-index gather takes minutes to compile on TPU.
+            chunks = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(wave_device, (s,), (self.window_size,))
+            )(starts)  # (B, window)
+            scores, _ = eend_forward(
+                params, state, cfg, chunks, train=False, compute_dtype=compute_dtype
+            )  # (B, F, P) log-probs
+            if soft:
+                return jnp.exp(scores) @ mapping
+            one_hot = jax.nn.one_hot(
+                jnp.argmax(scores, axis=-1), self.powerset.num_powerset_classes,
+                dtype=scores.dtype,
+            )
+            return one_hot @ mapping  # (B, F, K)
+
+        jitted = jax.jit(fwd, static_argnames=("soft",))
+        self._fwd = lambda wave, starts, soft: jitted(
+            self._params, self._state, wave, starts, soft
+        )
+
+    def num_chunks(self, num_samples: int) -> Tuple[int, bool]:
+        if num_samples >= self.window_size:
+            n_complete = 1 + (num_samples - self.window_size) // self.step_size
+        else:
+            n_complete = 0
+        has_last = (num_samples < self.window_size) or (
+            (num_samples - self.window_size) % self.step_size > 0
+        )
+        return n_complete, has_last
+
+    def __call__(
+        self,
+        waveform: np.ndarray,
+        sample_rate: Optional[int] = None,
+        soft: bool = False,
+    ) -> SlidingWindowFeature:
+        if waveform.ndim == 2:
+            waveform = waveform[0]
+        sample_rate = sample_rate or self.sample_rate
+        assert sample_rate == self.sample_rate, "resample before inference"
+        num_samples = waveform.shape[0]
+
+        n_complete, has_last = self.num_chunks(num_samples)
+        total = n_complete + has_last
+        starts = np.arange(total, dtype=np.int64) * self.step_size
+
+        # zero-pad so every window gather (incl. the orphan last chunk and the
+        # batch padding) stays in bounds
+        pad_to = starts[-1] + self.window_size if total else self.window_size
+        wave = np.zeros(max(pad_to, self.window_size), dtype=np.float32)
+        wave[:num_samples] = waveform
+        wave_device = jax.device_put(wave)
+
+        outputs = []
+        for b0 in range(0, total, self.batch_size):
+            batch_starts = starts[b0 : b0 + self.batch_size]
+            n_real = len(batch_starts)
+            if n_real < self.batch_size:  # pad to the compiled batch shape
+                batch_starts = np.pad(batch_starts, (0, self.batch_size - n_real))
+            out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
+            outputs.append(np.asarray(out[:n_real], dtype=np.float32))
+
+        if outputs:
+            data = np.vstack(outputs)
+        else:
+            nf = self.cfg.num_frames(self.window_size)
+            data = np.zeros((0, nf, self.powerset.num_classes), dtype=np.float32)
+
+        chunks = SlidingWindow(start=0.0, duration=self.duration, step=self.step)
+        return SlidingWindowFeature(data, chunks)
+
+
+def receptive_field_window(cfg: EendConfig) -> SlidingWindow:
+    """Model output frame resolution as a SlidingWindow (the reference's
+    `model._receptive_field`, core/model.py:180-195)."""
+    step, duration = cfg.rf_info()
+    kernels = [k for _, k, _ in cfg.wavlm.conv_layers]
+    strides = [s for _, _, s in cfg.wavlm.conv_layers]
+    from diarizen_tpu.ops.receptive_field import multi_conv_receptive_field_center
+
+    center0 = multi_conv_receptive_field_center(0, kernels, strides)
+    start = center0 / cfg.sample_rate - duration / 2
+    return SlidingWindow(start=start, duration=duration, step=step)

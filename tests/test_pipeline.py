@@ -1,0 +1,193 @@
+"""Pipeline stage tests + synthetic end-to-end.
+
+Released checkpoints are unavailable offline, so:
+  * downstream stages (count -> cluster -> reconstruct -> binarize) are
+    verified end-to-end against a hand-built 2-speaker ground truth with
+    synthetic segmentations/embeddings;
+  * the sliding engine + embedding engine run with tiny random models on the
+    reference example wav (shape/typing contracts, batching edge cases).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from diarizen_tpu.cluster import AgglomerativeClustering
+from diarizen_tpu.core.audio import read_wav
+from diarizen_tpu.core.segments import SlidingWindow, SlidingWindowFeature
+from diarizen_tpu.infer import (
+    DiarizationPipeline,
+    EmbeddingInference,
+    SlidingInference,
+    reconstruct,
+    speaker_count,
+    receptive_field_window,
+)
+from diarizen_tpu.models.conformer import ConformerConfig
+from diarizen_tpu.models.eend import EendConfig, init_eend_params
+from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
+from diarizen_tpu.models.wavlm import WavLMConfig
+
+EXAMPLE_WAV = "/root/reference/example/EN2002a_30s.wav"
+
+
+def tiny_eend_cfg(chunk_size=2.0):
+    n = 2
+    wavlm = WavLMConfig(
+        conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+        embed_dim=64,
+        num_layers=n,
+        use_attention=(True,) * n,
+        use_feed_forward=(True,) * n,
+        total_num_heads=(4,) * n,
+        remaining_heads=(tuple(range(4)),) * n,
+        ff_interm_features=(128,) * n,
+        num_buckets=40,
+        max_distance=100,
+        layer_drop=0.0,
+    )
+    return EendConfig(
+        wavlm=wavlm,
+        conformer=ConformerConfig(dim=32, ffn_hidden=64, num_heads=4, num_layers=1),
+        wavlm_layer_num=n + 1,
+        wavlm_feat_dim=64,
+        attention_in=32,
+        chunk_size=chunk_size,
+    )
+
+
+def test_speaker_count_synthetic():
+    # 3 chunks of 10 frames, 2 speakers, full overlap between chunks collapses
+    chunks = SlidingWindow(start=0.0, duration=1.0, step=0.5)
+    data = np.zeros((3, 10, 2), dtype=np.float32)
+    data[:, :, 0] = 1.0  # speaker 0 always active
+    data[1, :, 1] = 1.0  # speaker 1 active in chunk 1 only
+    frames = SlidingWindow(start=0.0, duration=0.1, step=0.1)
+    count = speaker_count(SlidingWindowFeature(data, chunks), frames, warm_up=(0.0, 0.0))
+    assert count.data.ndim == 2 and count.data.shape[1] == 1
+    assert count.data.max() == 2
+    assert count.data.min() >= 0
+
+
+def test_reconstruct_and_binarize_end_to_end():
+    """Hand-built 2-speaker scenario through count -> cluster -> reconstruct:
+    speaker A talks [0, 2.5s], B talks [2.5, 5s]; chunks of 1 s, step 0.5 s,
+    10 frames/chunk; local speaker order alternates per chunk to exercise the
+    cluster mapping."""
+    rng = np.random.default_rng(0)
+    duration, step, nf, n_spk = 1.0, 0.5, 10, 2
+    chunks = SlidingWindow(start=0.0, duration=duration, step=step)
+    num_chunks = 9  # t = 0 .. 5 s
+
+    seg = np.zeros((num_chunks, nf, n_spk), dtype=np.float32)
+    # ground truth activity by absolute time
+    for c in range(num_chunks):
+        t0 = c * step
+        # local speaker 0 <-> global A on even chunks, B on odd (permuted)
+        for f in range(nf):
+            t = t0 + (f + 0.5) * duration / nf
+            a_active = t < 2.5
+            b_active = t >= 2.5
+            if c % 2 == 0:
+                seg[c, f, 0] = a_active
+                seg[c, f, 1] = b_active
+            else:
+                seg[c, f, 0] = b_active
+                seg[c, f, 1] = a_active
+    binarized = SlidingWindowFeature(seg, chunks)
+
+    # synthetic embeddings: global A ~ +e1 blob, B ~ -e1 blob
+    dim = 16
+    emb = np.zeros((num_chunks, n_spk, dim))
+    for c in range(num_chunks):
+        for s in range(n_spk):
+            is_a = (c % 2 == 0) == (s == 0)
+            center = np.eye(dim)[0] * (4.0 if is_a else -4.0)
+            emb[c, s] = center + 0.05 * rng.standard_normal(dim)
+            if seg[c, :, s].sum() == 0:
+                emb[c, s] = np.nan  # inactive -> NaN like the reference
+
+    clustering = AgglomerativeClustering(threshold=0.7, min_cluster_size=2)
+    hard, soft, centroids = clustering(emb, seg, min_clusters=1, max_clusters=4)
+
+    frames = SlidingWindow(start=0.0, duration=duration / nf, step=duration / nf)
+    count = speaker_count(binarized, frames, warm_up=(0.0, 0.0))
+    count.data = np.minimum(count.data, 4).astype(np.int8)
+
+    inactive = seg.sum(axis=1) == 0
+    hard[inactive] = -2
+    discrete = reconstruct(binarized, hard, count)
+
+    from diarizen_tpu.ops.binarize import Binarize
+
+    ann = Binarize(onset=0.5, offset=0.5)(discrete)
+    labels = ann.labels()
+    assert len(labels) == 2, f"expected 2 speakers, got {labels}"
+    # speaker turns at ~2.5 s: each label's support should be ~2.5 s long
+    durations = sorted(ann.label_timeline(l).duration() for l in labels)
+    assert all(2.0 < d < 3.0 for d in durations), durations
+    # the two speakers must not overlap (ground truth has none)
+    t_a = ann.label_timeline(labels[0])
+    t_b = ann.label_timeline(labels[1])
+    overlap = sum(
+        sa.overlap_duration(sb) for sa in t_a for sb in t_b
+    )
+    assert overlap < 0.3, f"spurious overlap {overlap}"
+
+
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="example wav missing")
+def test_sliding_inference_on_example_wav():
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    inf = SlidingInference(params, state, cfg, batch_size=8)
+    wave, sr = read_wav(EXAMPLE_WAV)
+    assert sr == 16000
+    out = inf(wave[:, : 16000 * 10], sr)  # first 10 s
+    n_complete = 1 + (160000 - inf.window_size) // inf.step_size
+    # orphan last chunk appended when the remainder is nonzero
+    assert out.data.shape[0] in (n_complete, n_complete + 1)
+    assert out.data.shape[1] == cfg.num_frames(inf.window_size)
+    assert out.data.shape[2] == cfg.max_speakers_per_chunk
+    assert set(np.unique(out.data)).issubset({0.0, 1.0})  # hard multilabel
+    assert out.sliding_window.duration == 2.0
+    assert abs(out.sliding_window.step - 0.2) < 1e-9
+
+
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="example wav missing")
+def test_full_pipeline_runs_on_example_wav(tmp_path):
+    """Mechanics end-to-end with tiny random models on real audio: the
+    pipeline must produce a valid Annotation + parseable RTTM."""
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    seg_inf = SlidingInference(params, state, cfg, batch_size=8)
+
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    rparams = init_resnet_params(jax.random.PRNGKey(1), rcfg)
+    emb_inf = EmbeddingInference(
+        rparams, rcfg, window_size=seg_inf.window_size,
+        num_speakers=cfg.max_speakers_per_chunk, batch_size=8,
+    )
+
+    pipeline = DiarizationPipeline(
+        seg_inference=seg_inf,
+        emb_inference=emb_inf,
+        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=3),
+        eend_cfg=cfg,
+        max_speakers=4,
+    )
+    wave, sr = read_wav(EXAMPLE_WAV)
+    ann = pipeline(wave[:, : 16000 * 8], sr, uri="EN2002a_test")
+    rttm = ann.to_rttm()
+    for line in rttm.splitlines():
+        parts = line.split()
+        assert parts[0] == "SPEAKER" and parts[1] == "EN2002a_test"
+        assert float(parts[4]) > 0  # positive durations
+
+    # silence must early-exit with an empty annotation
+    silent = np.zeros((1, 16000 * 4), dtype=np.float32)
+    ann2 = pipeline(silent, sr, uri="silence")
+    # (random models may fire on silence; accept either but require validity)
+    assert ann2.uri == "silence"
