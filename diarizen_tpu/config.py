@@ -1,0 +1,82 @@
+"""Config system: TOML sections materialized by dynamic import.
+
+Reference parity: diarizen/utils.py:79-134 `instantiate()` — every TOML
+section has `path = "pkg.mod.ClassOrFn"` plus an `[section.args]` table;
+CLI overrides mutate the dict before instantiation
+(run_distill_prune.py:146-167). tomllib is stdlib (3.11+).
+"""
+
+from __future__ import annotations
+
+import copy
+import importlib
+import tomllib
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+
+def load_toml(path: str | Path) -> Dict[str, Any]:
+    with open(path, "rb") as fh:
+        return tomllib.load(fh)
+
+
+def dump_toml(config: Dict[str, Any], path: str | Path) -> None:
+    """Minimal TOML writer for the config snapshot re-dumped into the exp dir
+    (reference trainer_dual_opt.py:139-140). Handles the nested
+    {section: {path, args: {...}}} shape plus scalars/lists."""
+
+    def fmt(v: Any) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(fmt(x) for x in v) + "]"
+        raise TypeError(f"cannot dump {type(v)}")
+
+    lines = []
+
+    def walk(table: Dict[str, Any], prefix: str) -> None:
+        scalars = {k: v for k, v in table.items() if not isinstance(v, dict)}
+        subtables = {k: v for k, v in table.items() if isinstance(v, dict)}
+        if prefix and (scalars or not subtables):
+            lines.append(f"[{prefix}]")
+        for k, v in scalars.items():
+            lines.append(f"{k} = {fmt(v)}")
+        for k, v in subtables.items():
+            walk(v, f"{prefix}.{k}" if prefix else k)
+
+    walk(config, "")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def resolve(path: str) -> Any:
+    """'pkg.mod.Name' -> attribute."""
+    module_name, _, attr = path.rpartition(".")
+    module = importlib.import_module(module_name)
+    return getattr(module, attr)
+
+
+def instantiate(path: str, args: Optional[Dict[str, Any]] = None, **extra) -> Any:
+    """Import `path` and call it with args (reference utils.py:79-134)."""
+    fn = resolve(path)
+    return fn(**{**(args or {}), **extra})
+
+
+def instantiate_section(config: Dict[str, Any], section: str, **extra) -> Any:
+    sec = config[section]
+    return instantiate(sec["path"], sec.get("args", {}), **extra)
+
+
+def apply_overrides(config: Dict[str, Any], overrides: Dict[str, Any]) -> Dict[str, Any]:
+    """Apply {'a.b.c': value} dotted-path overrides to a nested config copy."""
+    out = copy.deepcopy(config)
+    for dotted, value in overrides.items():
+        node = out
+        *parents, leaf = dotted.split(".")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+    return out

@@ -1,0 +1,242 @@
+"""Epoch-driven trainer for EEND segmentation models.
+
+Capability parity with the reference Accelerate trainers
+(diarizen/trainer_dual_opt.py:38-661 / trainer_single_opt.py): experiment-dir
+layout, per-epoch checkpoint save + keep-latest-N GC, warmup schedulers,
+training loop with NaN-batch skip and percentile auto-clip (both inside the
+compiled step, train/step.py), validation loop accumulating DER components,
+early stopping with patience, TensorBoard + structured JSONL metrics, resume
+from the latest checkpoint.
+
+TPU-native replacements for the Accelerate machinery:
+  * DDP -> jit with batch sharded over the mesh 'data' axis (gradient
+    all-reduce inserted by XLA; SURVEY.md section 2.5);
+  * `gather_for_metrics` -> DER component sums come out of the jit step
+    already globally reduced (they are computed on replicated outputs);
+  * rank-consensus early stop -> single-controller jax: the Python loop IS
+    rank 0; no consensus protocol needed.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from diarizen_tpu.models.eend import EendConfig
+from diarizen_tpu.train.checkpoint import (
+    append_metrics,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from diarizen_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = logging.getLogger("diarizen_tpu.trainer")
+
+
+@dataclass
+class TrainerConfig:
+    exp_dir: str = "exp/default"
+    max_epochs: int = 100
+    patience: int = 10  # early stop after N non-improving epochs
+    monitor: str = "loss"  # "loss" | "der"
+    max_num_checkpoints: int = 100
+    compute_dtype: str = "bfloat16"
+    log_every: int = 50
+    seed: int = 3407
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: EendConfig,
+        trainer_cfg: TrainerConfig,
+        optimizer: optax.GradientTransformation,
+        params,
+        model_state,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.tc = trainer_cfg
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.exp_dir = Path(trainer_cfg.exp_dir)
+        self.ckpt_root = self.exp_dir / "checkpoints"
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+
+        compute_dtype = jnp.bfloat16 if trainer_cfg.compute_dtype == "bfloat16" else jnp.float32
+        self._train_step = jax.jit(
+            make_train_step(cfg, optimizer, compute_dtype=compute_dtype),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
+
+        self.state = create_train_state(params, model_state, optimizer)
+        self.start_epoch = 0
+        self.best_score = float("inf")
+        self.best_epoch = -1
+        self.epochs_without_improvement = 0
+
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(str(self.exp_dir / "tb"))
+        except Exception:  # tensorboard optional
+            self.tb = None
+
+    # ------------------------------------------------------------------ utils
+
+    def _shard_batch(self, batch: Dict) -> Dict:
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        if self.mesh is None:
+            return arrays
+        from diarizen_tpu.parallel.mesh import shard_batch
+
+        return shard_batch(arrays, self.mesh)
+
+    def _log_scalar(self, name: str, value: float, step: int) -> None:
+        if self.tb is not None:
+            self.tb.add_scalar(name, value, step)
+
+    # ----------------------------------------------------------------- resume
+
+    def resume(self) -> bool:
+        ckpt = latest_checkpoint(self.ckpt_root)
+        if ckpt is None:
+            return False
+        params, model_state, opt_leaves, meta = load_checkpoint(ckpt)
+        if opt_leaves is None:
+            opt_state = self.optimizer.init(params)
+        else:
+            # rebuild the optax state structure (NamedTuples/EmptyState do not
+            # survive npz) from the ordered leaves
+            template = jax.eval_shape(lambda p: self.optimizer.init(p), params)
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(template), opt_leaves
+            )
+        self.state = TrainState(
+            params=params,
+            model_state=model_state,
+            opt_state=opt_state,
+            step=jnp.asarray(meta.get("step", 0), jnp.int32),
+        )
+        self.start_epoch = meta["epoch"] + 1
+        self.best_score = meta.get("best_score", float("inf"))
+        self.best_epoch = meta.get("best_epoch", -1)
+        self.epochs_without_improvement = meta.get("epochs_without_improvement", 0)
+        logger.info("resumed from %s (epoch %d)", ckpt, self.start_epoch)
+        return True
+
+    # ------------------------------------------------------------------ train
+
+    def train_epoch(self, loader, epoch: int, rng: jax.Array) -> Dict[str, float]:
+        losses, grad_norms, skipped = [], [], 0
+        t0 = time.time()
+        n = 0
+        for i, batch in enumerate(loader):
+            sharded = self._shard_batch(batch)
+            self.state, metrics = self._train_step(self.state, sharded, rng)
+            n += 1
+            if (i + 1) % self.tc.log_every == 0:
+                loss = float(metrics["loss"])
+                gn = float(metrics["grad_norm"])
+                losses.append(loss)
+                grad_norms.append(gn)
+                skipped += int(metrics["skipped"])
+                step = int(self.state.step)
+                self._log_scalar("train/loss", loss, step)
+                self._log_scalar("train/grad_norm", gn, step)
+                logger.info(
+                    "epoch %d step %d loss %.4f grad_norm %.3f", epoch, step, loss, gn
+                )
+        # ensure last metrics are recorded even for short epochs
+        if not losses and n:
+            losses.append(float(metrics["loss"]))
+        dt = time.time() - t0
+        return {
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_batches": n,
+            "epoch_seconds": dt,
+        }
+
+    def validate(self, loader) -> Dict[str, float]:
+        totals = {"false_alarm": 0.0, "missed_detection": 0.0, "confusion": 0.0,
+                  "speech_total": 0.0, "loss_sum": 0.0, "num_chunks": 0.0}
+        for batch in loader:
+            m = self._eval_step(self.state, self._shard_batch(batch))
+            for k in totals:
+                totals[k] += float(m[k])
+        speech = max(totals["speech_total"], 1e-9)
+        der = (totals["false_alarm"] + totals["missed_detection"] + totals["confusion"]) / speech
+        return {
+            "loss": totals["loss_sum"] / max(totals["num_chunks"], 1.0),
+            "der": der,
+            "false_alarm": totals["false_alarm"] / speech,
+            "missed_detection": totals["missed_detection"] / speech,
+            "confusion": totals["confusion"] / speech,
+        }
+
+    def train(self, train_loader, val_loader) -> Dict[str, float]:
+        rng = jax.random.PRNGKey(self.tc.seed)
+        last_val: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, self.tc.max_epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            train_metrics = self.train_epoch(train_loader, epoch, rng)
+            val_metrics = self.validate(val_loader)
+            last_val = val_metrics
+            logger.info(
+                "Validation Loss/DER on epoch %d: %.4f / %.4f",
+                epoch, val_metrics["loss"], val_metrics["der"],
+            )
+            step = int(self.state.step)
+            for k, v in val_metrics.items():
+                self._log_scalar(f"val/{k}", v, step)
+
+            score = val_metrics[self.tc.monitor]
+            improved = score < self.best_score
+            if improved:
+                self.best_score = score
+                self.best_epoch = epoch
+                self.epochs_without_improvement = 0
+            else:
+                self.epochs_without_improvement += 1
+
+            append_metrics(
+                self.exp_dir,
+                {"epoch": epoch, **train_metrics, **val_metrics,
+                 "best": improved, "step": step},
+            )
+            save_checkpoint(
+                self.ckpt_root, epoch,
+                self.state.params, self.state.model_state, self.state.opt_state,
+                meta={
+                    "step": step,
+                    "best_score": self.best_score,
+                    "best_epoch": self.best_epoch,
+                    "epochs_without_improvement": self.epochs_without_improvement,
+                    **val_metrics,
+                },
+                max_keep=self.tc.max_num_checkpoints,
+            )
+
+            if self.epochs_without_improvement >= self.tc.patience:
+                logger.info(
+                    "early stop at epoch %d (no %s improvement for %d epochs)",
+                    epoch, self.tc.monitor, self.tc.patience,
+                )
+                break
+        return last_val

