@@ -88,16 +88,18 @@ def wavlm_params_from_torch(state_dict: Dict, cfg: WavLMConfig) -> dict:
             block["norm"] = _norm(sd, f"{key}.layer_norm")
         conv_blocks.append(block)
 
-    # fold the reference's dummy_weight (soft prune mask of the last conv
-    # layer; ones after prune()) into the last conv (components.py:176-186)
+    feature_extractor: dict = {"conv_layers": conv_blocks}
+    # the reference's dummy_weight multiplies the extractor output AFTER the
+    # conv GELU (components.py:176-209); for pruned checkpoints it carries
+    # the last conv layer's soft mask values — keep it as an explicit
+    # post-activation scale (identity ones for unpruned models)
     if "feature_extractor.dummy_weight" in sd:
         dummy = sd["feature_extractor.dummy_weight"]
-        conv_blocks[-1]["conv"]["w"] = conv_blocks[-1]["conv"]["w"] * dummy[None, None, :]
-        if "b" in conv_blocks[-1]["conv"]:
-            conv_blocks[-1]["conv"]["b"] = conv_blocks[-1]["conv"]["b"] * dummy
+        if not np.allclose(dummy, 1.0):
+            feature_extractor["output_scale"] = dummy
 
     params = {
-        "feature_extractor": {"conv_layers": conv_blocks},
+        "feature_extractor": feature_extractor,
         "feature_projection": {
             "norm": _norm(sd, f"{enc}.layer_norm"),
             "proj": _linear(sd, f"{enc}.projection"),

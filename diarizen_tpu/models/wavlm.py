@@ -263,9 +263,14 @@ def compute_position_bias(params: Params, cfg: WavLMConfig, seq_len: int) -> jnp
 # forward
 
 
-def _feature_extractor(params: Params, cfg: WavLMConfig, x: jnp.ndarray, compute_dtype) -> jnp.ndarray:
-    """(B, num_samples) -> (B, F, conv_out). Conv stack + GN/LN + GELU."""
+def _feature_extractor(
+    params: Params, cfg: WavLMConfig, x: jnp.ndarray, compute_dtype, gates=None
+) -> jnp.ndarray:
+    """(B, num_samples) -> (B, F, conv_out). Conv stack + GN/LN + GELU.
+    `gates["conv"][i]`, when present, is a HardConcrete channel mask applied
+    after the activation (reference components.py:125-128)."""
     x = x[:, :, None].astype(compute_dtype)  # (B, T, 1)
+    conv_gates = (gates or {}).get("conv")
     for i, (block, (out_ch, kernel, stride)) in enumerate(
         zip(params["feature_extractor"]["conv_layers"], cfg.conv_layers)
     ):
@@ -276,6 +281,14 @@ def _feature_extractor(params: Params, cfg: WavLMConfig, x: jnp.ndarray, compute
             else:
                 x = layer_norm(block["norm"], x)
         x = gelu(x)
+        if conv_gates is not None and conv_gates[i] is not None:
+            x = x * conv_gates[i].astype(x.dtype)
+    # the reference's `dummy_weight` (components.py:176-209): a per-channel
+    # scale on the extractor output carrying the last conv layer's soft prune
+    # mask — must be applied here, after GELU and before the projection LN
+    # (folding it elsewhere is not numerically equivalent)
+    if "output_scale" in params["feature_extractor"]:
+        x = x * params["feature_extractor"]["output_scale"].astype(x.dtype)
     return x
 
 
@@ -300,6 +313,7 @@ def _self_attention(
     position_bias: Optional[jnp.ndarray],
     train: bool,
     rng: Optional[jax.Array],
+    hc_gate=None,
 ) -> jnp.ndarray:
     """WavLM gated rel-pos self-attention (components.py:668-725)."""
     p = layer["attn"]
@@ -329,19 +343,30 @@ def _self_attention(
     drop_rng = jax.random.fold_in(rng, 2 * i) if (train and rng is not None) else None
     out = attention(q, k, v, bias=bias, dropout_rng=drop_rng,
                     dropout_rate=cfg.attention_dropout, train=train)
+    if hc_gate is not None and hc_gate.get("heads") is not None:
+        # HardConcrete head mask (components.py:520-523)
+        out = out * hc_gate["heads"].astype(out.dtype)[None, :, None, None]
     out = out.transpose(0, 2, 1, 3).reshape(b, t, nh * hd)
-    return linear(p["out"], out)
+    out = linear(p["out"], out)
+    if hc_gate is not None and hc_gate.get("attn_layer") is not None:
+        out = out * hc_gate["attn_layer"].astype(out.dtype)
+    return out
 
 
 def _feed_forward(layer: Params, cfg: WavLMConfig, x: jnp.ndarray, train: bool,
-                  rng: Optional[jax.Array], i: int) -> jnp.ndarray:
+                  rng: Optional[jax.Array], i: int, gate=None) -> jnp.ndarray:
     p = layer["ff"]
     h = gelu(linear(p["in"], x))
     if train and rng is not None:
         h = dropout(jax.random.fold_in(rng, 1000 + i), h, cfg.ff_interm_dropout, train)
+    if gate is not None and gate.get("ff_interm") is not None:
+        # HardConcrete intermediate mask (components.py:809-811)
+        h = h * gate["ff_interm"].astype(h.dtype)
     y = linear(p["out"], h)
     if train and rng is not None:
         y = dropout(jax.random.fold_in(rng, 2000 + i), y, cfg.dropout, train)
+    if gate is not None and gate.get("ff_layer") is not None:
+        y = y * gate["ff_layer"].astype(y.dtype)
     return y
 
 
@@ -353,13 +378,14 @@ def _encoder_layer(
     position_bias: Optional[jnp.ndarray],
     train: bool,
     rng: Optional[jax.Array],
+    gate=None,
 ) -> jnp.ndarray:
     """Pre-LN (Large) or post-LN (Base) encoder layer (components.py:879-958)."""
     has_attn = cfg.use_attention[i] and "attn" in layer
     if has_attn:
         residual = x
         h = layer_norm(layer["attn_norm"], x) if cfg.layer_norm_first else x
-        h = _self_attention(layer, cfg, i, h, position_bias, train, rng)
+        h = _self_attention(layer, cfg, i, h, position_bias, train, rng, hc_gate=gate)
         if train and rng is not None:
             h = dropout(jax.random.fold_in(rng, 3000 + i), h, cfg.dropout, train)
         x = residual + h
@@ -367,12 +393,14 @@ def _encoder_layer(
     has_ff = cfg.use_feed_forward[i] and "ff" in layer
     if cfg.layer_norm_first:
         if has_ff:
-            x = x + _feed_forward(layer, cfg, layer_norm(layer["final_norm"], x), train, rng, i)
+            x = x + _feed_forward(
+                layer, cfg, layer_norm(layer["final_norm"], x), train, rng, i, gate=gate
+            )
     else:
         # post-norm: LNs always applied even when sublayers are pruned away
         x = layer_norm(layer["attn_norm"], x)
         if has_ff:
-            x = x + _feed_forward(layer, cfg, x, train, rng, i)
+            x = x + _feed_forward(layer, cfg, x, train, rng, i, gate=gate)
         x = layer_norm(layer["final_norm"], x)
     return x
 
@@ -386,6 +414,7 @@ def wavlm_extract_features(
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     feature_grad_mult: float = 0.1,
+    gates=None,
 ) -> List[jnp.ndarray]:
     """(B, num_samples) -> list of num_layers+1 hidden states (B, F, D).
 
@@ -398,7 +427,7 @@ def wavlm_extract_features(
         var = jnp.var(waveforms, axis=-1, keepdims=True)
         waveforms = (waveforms - mean) * jax.lax.rsqrt(var + 1e-5)
 
-    x = _feature_extractor(params, cfg, waveforms, compute_dtype)
+    x = _feature_extractor(params, cfg, waveforms, compute_dtype, gates=gates)
     if feature_grad_mult != 1.0 and train:
         x = grad_multiply(x, feature_grad_mult)
 
@@ -420,9 +449,11 @@ def wavlm_extract_features(
 
     position_bias = compute_position_bias(params, cfg, x.shape[1]).astype(jnp.float32)
 
+    layer_gates = (gates or {}).get("layers")
     hidden_states = [x]
     for i, layer in enumerate(params["layers"]):
-        new_x = _encoder_layer(layer, cfg, i, x, position_bias, train, rng)
+        gate = layer_gates[i] if layer_gates is not None else None
+        new_x = _encoder_layer(layer, cfg, i, x, position_bias, train, rng, gate=gate)
         if train and cfg.layer_drop > 0.0 and rng is not None:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(rng, 20_000 + i), 1.0 - cfg.layer_drop
