@@ -261,6 +261,43 @@ def eend_params_from_torch(state_dict: Dict, cfg) -> Tuple[dict, dict]:
     return params, {"conformer": conformer_state}
 
 
+def fusion_params_from_torch(state_dict: Dict, kind: str = "cross_attention") -> dict:
+    """Reference `CrossChannelAttention` / `TACFusion` state dict -> params
+    (diarizen/models/module/utils_mc.py:13-120)."""
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()}
+    if kind == "cross_attention":
+        return {
+            "q": _linear(sd, "linearQ"),
+            "k": _linear(sd, "linearK"),
+            "v": _linear(sd, "linearV"),
+            "o": _linear(sd, "linearO"),
+            "norm": _norm(sd, "ln_norm"),
+        }
+    return {
+        "input_tf": _linear(sd, "input_tf.0"),
+        "input_prelu": _to_numpy(sd["input_tf.1.weight"]),
+        "avg_tf": _linear(sd, "avg_tf.0"),
+        "avg_prelu": _to_numpy(sd["avg_tf.1.weight"]),
+        "concat_tf": _linear(sd, "concat_tf.0"),
+        "concat_prelu": _to_numpy(sd["concat_tf.1.weight"]),
+        "norm": _norm(sd, "norm"),
+    }
+
+
+def eend_mc_params_from_torch(state_dict: Dict, cfg, num_fusions: int = 4,
+                              fusion_kind: str = "cross_attention") -> Tuple[dict, dict]:
+    """Reference MC EEND checkpoint -> (params, state); adds channel_fusions
+    (model_wavlm_conformer_mc.py)."""
+    params, state = eend_params_from_torch(state_dict, cfg)
+    params["channel_fusions"] = [
+        fusion_params_from_torch(
+            strip_prefix(state_dict, f"channel_fusions.{i}"), fusion_kind
+        )
+        for i in range(num_fusions)
+    ]
+    return params, state
+
+
 def load_eend_checkpoint(path: str, cfg):
     """Load a reference EEND diarization checkpoint (`pytorch_model.bin` or an
     averaged-checkpoint file) into (params, state)."""
