@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,9 +91,15 @@ def kaldi_fbank(waveforms: jnp.ndarray) -> jnp.ndarray:
     b, n = waveforms.shape
     t = num_fbank_frames(n)
 
-    idx = np.arange(t)[:, None] * FRAME_SHIFT + np.arange(FRAME_LENGTH)[None, :]
-    frames = waveforms[:, idx]  # (B, T, 400)
-    frames = frames.astype(jnp.float32)
+    # frame extraction as extract-patches (a gather with a (T, 400) index
+    # matrix takes minutes to compile on TPU)
+    frames = jax.lax.conv_general_dilated_patches(
+        waveforms[:, :, None].astype(jnp.float32),
+        filter_shape=(FRAME_LENGTH,),
+        window_strides=(FRAME_SHIFT,),
+        padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[:, :t]  # (B, T, 400)
 
     # remove DC offset per frame
     frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
