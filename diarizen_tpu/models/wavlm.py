@@ -133,6 +133,16 @@ class WavLMConfig:
         )
 
     @staticmethod
+    def from_dict(d: dict) -> "WavLMConfig":
+        """Rebuild from dataclasses.asdict JSON (lists -> tuples)."""
+        d = dict(d)
+        for k in ("conv_layers", "remaining_heads"):
+            d[k] = tuple(tuple(x) for x in d[k])
+        for k in ("use_attention", "use_feed_forward", "total_num_heads", "ff_interm_features"):
+            d[k] = tuple(d[k])
+        return WavLMConfig(**d)
+
+    @staticmethod
     def from_reference_dict(cfg: dict) -> "WavLMConfig":
         """Build from the reference factory-kwargs dict format
         (`wavlm_config.py` presets / pruned checkpoint `config` payloads)."""
