@@ -135,6 +135,7 @@ class EmbeddingInference:
         window_size: int,
         num_speakers: int,
         batch_size: int = 16,
+        mesh=None,
     ):
         self.cfg = cfg
         self.window_size = window_size
@@ -148,7 +149,16 @@ class EmbeddingInference:
             # chunks (B, window), weights (B, S, F) -> (B, S, embed)
             return embed_waveforms(params, cfg, chunks, weights)
 
-        jitted = jax.jit(fwd)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P("data"))
+            assert batch_size % mesh.shape["data"] == 0
+            self._params = jax.device_put(params, repl)
+            jitted = jax.jit(fwd, in_shardings=(None, shard, shard), out_shardings=shard)
+        else:
+            jitted = jax.jit(fwd)
         self._fwd = lambda chunks, weights: jitted(self._params, chunks, weights)
 
     @property

@@ -45,7 +45,14 @@ class SlidingInference:
         step: Optional[float] = None,
         batch_size: int = 32,
         compute_dtype=jnp.bfloat16,
+        mesh=None,
     ):
+        """With `mesh` (a ('data', 'model') jax Mesh), each window batch is
+        sharded over the 'data' axis — windows fan out across chips and
+        posteriors gather back to the host (the inference scale-out the
+        reference lacks, SURVEY.md section 2.5; batch_size must divide by the
+        data-axis size)."""
+        self.mesh = mesh
         self.cfg = cfg
         self.duration = duration if duration is not None else cfg.chunk_size
         self.step = step if step is not None else 0.1 * self.duration
@@ -81,7 +88,24 @@ class SlidingInference:
             )
             return one_hot @ mapping  # (B, F, K)
 
-        jitted = jax.jit(fwd, static_argnames=("soft",))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            batch_shard = NamedSharding(mesh, P("data"))
+            assert batch_size % mesh.shape["data"] == 0, (
+                f"batch_size {batch_size} must divide data axis {mesh.shape['data']}"
+            )
+            self._params = jax.device_put(params, repl)
+            self._state = jax.device_put(state, repl)
+            jitted = jax.jit(
+                fwd,
+                static_argnames=("soft",),
+                in_shardings=(None, None, repl, batch_shard),
+                out_shardings=batch_shard,
+            )
+        else:
+            jitted = jax.jit(fwd, static_argnames=("soft",))
         self._fwd = lambda wave, starts, soft: jitted(
             self._params, self._state, wave, starts, soft
         )

@@ -70,27 +70,36 @@ def linear(p: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """LayerNorm over the last axis, computed in f32, output in x.dtype."""
-    orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+    """LayerNorm over the last axis; f32 statistics WITHOUT materializing an
+    f32 copy of x (reductions accumulate in f32 via dtype=), so bf16
+    activations stay bf16 in HBM."""
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32) - mean), axis=-1, keepdims=True
+    ) if x.dtype == jnp.float32 else (
+        jnp.mean(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
+        - jnp.square(mean)
+    )
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    scale = (inv * p["scale"].astype(jnp.float32)).astype(jnp.float32)
+    y = (x.astype(jnp.float32) - mean) * scale + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def group_norm(p: Params, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) -> jnp.ndarray:
     """GroupNorm over (B, T, C) with channel-last layout, stats per (group, batch)
     over (T, C//G). Affine params shaped (C,)."""
-    orig_dtype = x.dtype
     b, t, c = x.shape
-    xg = x.astype(jnp.float32).reshape(b, t, num_groups, c // num_groups)
-    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.var(xg, axis=(1, 3), keepdims=True)
-    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, t, c)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
-    return y.astype(orig_dtype)
+    xg = x.reshape(b, t, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    var = (
+        jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True, dtype=jnp.float32)
+        - jnp.square(mean)
+    )
+    inv = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    y = (xg.astype(jnp.float32) - mean) * inv
+    y = y.reshape(b, t, c) * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def conv1d(

@@ -51,6 +51,21 @@ from diarizen_tpu.models.common import (
     linear,
 )
 
+_FLASH_OVERRIDE: Optional[bool] = None
+
+
+def set_flash_attention(enabled: Optional[bool]) -> None:
+    """Override the fused-bias Pallas attention toggle (None = auto: TPU only)."""
+    global _FLASH_OVERRIDE
+    _FLASH_OVERRIDE = enabled
+
+
+def use_flash_attention() -> bool:
+    if _FLASH_OVERRIDE is not None:
+        return _FLASH_OVERRIDE
+    return jax.default_backend() == "tpu"
+
+
 # default conv stack: 16 kHz -> 50 Hz, 512 channels (components.py:1219-1221)
 DEFAULT_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
     (512, 10, 5),
@@ -334,6 +349,7 @@ def _self_attention(
     hd = cfg.head_dim
 
     bias = None
+    gate_sel = None
     if position_bias is not None:
         # query-dependent GRU-style gate, computed over ALL total_num_heads
         q_heads = x.reshape(b, t, total_heads, hd).transpose(0, 2, 1, 3)  # (B, Ht, T, hd)
@@ -341,8 +357,8 @@ def _self_attention(
         gates = jax.nn.sigmoid(gates.astype(jnp.float32).reshape(b, total_heads, t, 2, 4).sum(-1))
         gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, Ht, T)
         gate = gate_a * (gate_b * p["gru_const"].astype(jnp.float32)[:, :, :, 0] - 1.0) + 2.0
-        bias = gate[:, :, :, None] * position_bias[None].astype(jnp.float32)  # (B, Ht, T, T)
-        bias = bias[:, np.asarray(remaining, dtype=np.int64)]  # (B, nh, T, T)
+        rem_idx = np.asarray(remaining, dtype=np.int64)
+        gate_sel = gate[:, rem_idx]  # (B, nh, T)
 
     def split_heads(h):
         return h.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
@@ -350,9 +366,23 @@ def _self_attention(
     q = split_heads(linear(p["q"], x))
     k = split_heads(linear(p["k"], x))
     v = split_heads(linear(p["v"], x))
-    drop_rng = jax.random.fold_in(rng, 2 * i) if (train and rng is not None) else None
-    out = attention(q, k, v, bias=bias, dropout_rng=drop_rng,
-                    dropout_rate=cfg.attention_dropout, train=train)
+    # Pallas fused-bias flash kernel for the inference path: the (B, H, T, T)
+    # gated bias and score matrices never reach HBM. Training keeps the XLA
+    # path (dropout + backward).
+    use_flash = (not train) and use_flash_attention() and gate_sel is not None
+    if use_flash:
+        from diarizen_tpu.ops.flash_attention import flash_attention_gated_bias
+
+        pos_sel = position_bias[np.asarray(remaining, dtype=np.int64)]  # (nh, T, T)
+        out = flash_attention_gated_bias(q, k, v, pos_sel, gate_sel)
+    else:
+        if gate_sel is not None:
+            bias = gate_sel[:, :, :, None] * position_bias[
+                None, np.asarray(remaining, dtype=np.int64)
+            ].astype(jnp.float32)  # (B, nh, T, T)
+        drop_rng = jax.random.fold_in(rng, 2 * i) if (train and rng is not None) else None
+        out = attention(q, k, v, bias=bias, dropout_rng=drop_rng,
+                        dropout_rate=cfg.attention_dropout, train=train)
     if hc_gate is not None and hc_gate.get("heads") is not None:
         # HardConcrete head mask (components.py:520-523)
         out = out * hc_gate["heads"].astype(out.dtype)[None, :, None, None]

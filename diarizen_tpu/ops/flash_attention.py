@@ -1,0 +1,135 @@
+"""Pallas TPU attention kernel with fused WavLM gated relative-position bias.
+
+The XLA path materializes logits + softmax weights as (B, H, T, T) f32 in HBM
+(~6 GB of traffic per 32x8s batch for WavLM-Base) — the dominant cost of the
+segmentation forward. This kernel computes, per (batch, head-group, q-block):
+
+    s = (q * scale) @ k^T + gate[:, None] * pos_bias_block
+    o = softmax(s) @ v
+
+entirely in VMEM: the (T, T) score matrix never touches HBM, and the gated
+bias (the reference's query-dependent GRU gate x bucketed rel-pos embedding,
+components.py:702-713) is fused instead of materialized per batch.
+
+T <= 799 (16 s windows) so whole (T_pad, D) K/V panels and (BQ, T_pad) score
+tiles fit in VMEM — no online-softmax pass needed. Several heads are
+processed per program (HB) so grid overhead and DMA latency amortize.
+Inference-path kernel; training uses the XLA attention.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_BQ = 512  # q-block rows cap (T <= 799 -> usually one block per head)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_head_block(h: int) -> int:
+    for hb in (4, 3, 2):
+        if h % hb == 0:
+            return hb
+    return 1
+
+
+def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, o_ref, *, scale: float, t_valid: int, hb: int):
+    # q_ref: (1, HB, BQ, D), k_ref/v_ref: (1, HB, Tp, D), p_ref: (HB, BQ, Tp),
+    # g_ref: (1, HB, BQ, 1), o_ref: (1, HB, BQ, D)
+    for hh in range(hb):  # static unroll over the head group
+        q = q_ref[0, hh].astype(jnp.float32) * scale
+        k = k_ref[0, hh].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, Tp)
+        gate = g_ref[0, hh].astype(jnp.float32)  # (BQ, 1)
+        s = s + gate * p_ref[hh].astype(jnp.float32)
+
+        tp = s.shape[1]
+        if t_valid < tp:  # mask padded key columns
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -1e30)
+
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        o = jax.lax.dot_general(
+            w, v_ref[0, hh], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, hh] = o.astype(o_ref.dtype)
+
+
+def flash_attention_gated_bias(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_bias: jnp.ndarray,
+    gate: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """q, k, v: (B, H, T, D); pos_bias: (H, T, T); gate: (B, H, T).
+
+    Returns (B, H, T, D) = softmax(q k^T / sqrt(D) + gate * pos_bias) v.
+    `interpret` defaults to True off-TPU (tests on the CPU mesh).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    bq = min(_round_up(t, 128), MAX_BQ)
+    tp = _round_up(t, bq)
+    # pad head dim to the 128-lane width: measured faster than a 64-wide
+    # last dim (MXU tiles at full lanes) despite the extra zero traffic
+    dp = _round_up(d, 128)
+    hb = _pick_head_block(h)
+
+    def pad(x, pads):
+        return jnp.pad(x, pads) if any(p0 or p1 for p0, p1 in pads) else x
+
+    pads4 = [(0, 0), (0, 0), (0, tp - t), (0, dp - d)]
+    qf = pad(q, pads4)
+    kf = pad(k, pads4)
+    vf = pad(v, pads4)
+    # bias rides in the compute dtype: halves its HBM traffic in bf16 runs
+    pf = pad(pos_bias, [(0, 0), (0, tp - t), (0, tp - t)]).astype(q.dtype)
+    gf = pad(gate[..., None], [(0, 0), (0, 0), (0, tp - t), (0, 0)]).astype(jnp.float32)
+
+    grid = (b, h // hb, tp // bq)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, t_valid=t, hb=hb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hb, bq, dp), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp), lambda i, g, j: (i, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp), lambda i, g, j: (i, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, bq, tp), lambda i, g, j: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, bq, 1), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, bq, dp), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, dp), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, pf, gf)
+    return out[:, :, :t, :d]
+
+
+def xla_attention_gated_bias(q, k, v, pos_bias, gate):
+    """Reference XLA path (used for training and as kernel fallback/oracle)."""
+    d = q.shape[-1]
+    scale = 1.0 / np.sqrt(d)
+    bias = gate[..., None].astype(jnp.float32) * pos_bias[None].astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhtd,bhsd->bhts", q.astype(jnp.float32) * scale, k.astype(jnp.float32)
+    )
+    logits = logits + bias
+    logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", w.astype(q.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
