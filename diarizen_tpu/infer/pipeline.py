@@ -145,8 +145,12 @@ class EmbeddingInference:
         # params as jit args, not closure constants (see sliding.py note)
         self._params = jax.device_put(params)
 
-        def fwd(params, chunks, weights):
-            # chunks (B, window), weights (B, S, F) -> (B, S, embed)
+        def fwd(params, wave_device, starts, weights):
+            # device-side window gather (wave shipped once per file; chunks
+            # overlap 90% so per-chunk host crops would be ~10x the traffic)
+            chunks = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(wave_device, (s,), (window_size,))
+            )(starts)  # (B, window)
             return embed_waveforms(params, cfg, chunks, weights)
 
         if mesh is not None:
@@ -156,10 +160,12 @@ class EmbeddingInference:
             shard = NamedSharding(mesh, P("data"))
             assert batch_size % mesh.shape["data"] == 0
             self._params = jax.device_put(params, repl)
-            jitted = jax.jit(fwd, in_shardings=(None, shard, shard), out_shardings=shard)
+            jitted = jax.jit(
+                fwd, in_shardings=(None, repl, shard, shard), out_shardings=shard
+            )
         else:
             jitted = jax.jit(fwd)
-        self._fwd = lambda chunks, weights: jitted(self._params, chunks, weights)
+        self._fwd = lambda wave, starts, weights: jitted(self._params, wave, starts, weights)
 
     @property
     def min_num_samples(self) -> int:
@@ -169,19 +175,22 @@ class EmbeddingInference:
 
         return FRAME_LENGTH
 
-    def __call__(self, chunks: np.ndarray, weights: np.ndarray) -> np.ndarray:
-        """(N, window) waveform chunks + (N, S, F) weights -> (N, S, D)."""
-        n = chunks.shape[0]
-        outs = []
+    def __call__(
+        self, wave_device, starts: np.ndarray, weights: np.ndarray
+    ) -> np.ndarray:
+        """Device waveform + (N,) window starts + (N, S, F) weights -> (N, S, D)."""
+        n = len(starts)
+        pending = []
         for b0 in range(0, n, self.batch_size):
-            cb = chunks[b0 : b0 + self.batch_size]
+            sb = starts[b0 : b0 + self.batch_size]
             wb = weights[b0 : b0 + self.batch_size]
-            n_real = cb.shape[0]
+            n_real = len(sb)
             if n_real < self.batch_size:
-                cb = np.pad(cb, ((0, self.batch_size - n_real), (0, 0)))
+                sb = np.pad(sb, (0, self.batch_size - n_real))
                 wb = np.pad(wb, ((0, self.batch_size - n_real), (0, 0), (0, 0)))
-            out = self._fwd(jnp.asarray(cb), jnp.asarray(wb))
-            outs.append(np.asarray(out[:n_real], dtype=np.float64))
+            out = self._fwd(wave_device, jnp.asarray(sb, jnp.int32), jnp.asarray(wb))
+            pending.append((out, n_real))
+        outs = [np.asarray(o[:nr], dtype=np.float64) for o, nr in pending]
         return np.concatenate(outs) if outs else np.zeros((0, self.num_speakers, 256))
 
 
@@ -267,13 +276,9 @@ class DiarizationPipeline:
         else:
             weights = masks
 
-        # crop chunk waveforms (pad at file end)
-        num_samples = waveform.shape[0]
-        chunks = np.zeros((num_chunks, window_size), dtype=np.float32)
-        for c in range(num_chunks):
-            s0 = c * step_size
-            seg = waveform[s0 : s0 + window_size]
-            chunks[c, : len(seg)] = seg
+        # one padded device copy of the waveform, windows gathered on device
+        wave_device, starts = self.seg_inference.prepare_wave(waveform)
+        starts = starts[:num_chunks]
 
         weights = np.transpose(weights, (0, 2, 1))  # (chunks, S, frames)
-        return self.emb_inference(chunks, weights)
+        return self.emb_inference(wave_device, starts, weights)

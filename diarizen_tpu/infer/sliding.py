@@ -86,7 +86,8 @@ class SlidingInference:
                 jnp.argmax(scores, axis=-1), self.powerset.num_powerset_classes,
                 dtype=scores.dtype,
             )
-            return one_hot @ mapping  # (B, F, K)
+            # hard multilabel is binary: ship uint8 (4x less tunnel traffic)
+            return (one_hot @ mapping).astype(jnp.uint8)  # (B, F, K)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -120,37 +121,46 @@ class SlidingInference:
         )
         return n_complete, has_last
 
+    def prepare_wave(self, waveform: np.ndarray):
+        """Pad + ship the waveform to device ONCE; returns
+        (wave_device, starts). The device copy is shared with the embedding
+        stage — windows overlap 90%, so gathering on device instead of
+        shipping per-chunk crops cuts host->device traffic ~10x."""
+        if waveform.ndim == 2:
+            waveform = waveform[0]
+        num_samples = waveform.shape[0]
+        n_complete, has_last = self.num_chunks(num_samples)
+        total = n_complete + has_last
+        starts = np.arange(total, dtype=np.int64) * self.step_size
+        # zero-pad so every window gather (incl. the orphan last chunk and the
+        # batch padding) stays in bounds
+        pad_to = starts[-1] + self.window_size if total else self.window_size
+        wave = np.zeros(max(pad_to, self.window_size), dtype=np.float32)
+        wave[:num_samples] = waveform
+        return jax.device_put(wave), starts
+
     def __call__(
         self,
         waveform: np.ndarray,
         sample_rate: Optional[int] = None,
         soft: bool = False,
     ) -> SlidingWindowFeature:
-        if waveform.ndim == 2:
-            waveform = waveform[0]
         sample_rate = sample_rate or self.sample_rate
         assert sample_rate == self.sample_rate, "resample before inference"
-        num_samples = waveform.shape[0]
+        wave_device, starts = self.prepare_wave(waveform)
+        total = len(starts)
 
-        n_complete, has_last = self.num_chunks(num_samples)
-        total = n_complete + has_last
-        starts = np.arange(total, dtype=np.int64) * self.step_size
-
-        # zero-pad so every window gather (incl. the orphan last chunk and the
-        # batch padding) stays in bounds
-        pad_to = starts[-1] + self.window_size if total else self.window_size
-        wave = np.zeros(max(pad_to, self.window_size), dtype=np.float32)
-        wave[:num_samples] = waveform
-        wave_device = jax.device_put(wave)
-
-        outputs = []
+        # enqueue all batches first (async dispatch overlaps compute with the
+        # host<->device transfers), then collect
+        pending = []
         for b0 in range(0, total, self.batch_size):
             batch_starts = starts[b0 : b0 + self.batch_size]
             n_real = len(batch_starts)
             if n_real < self.batch_size:  # pad to the compiled batch shape
                 batch_starts = np.pad(batch_starts, (0, self.batch_size - n_real))
             out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
-            outputs.append(np.asarray(out[:n_real], dtype=np.float32))
+            pending.append((out, n_real))
+        outputs = [np.asarray(out[:n_real], dtype=np.float32) for out, n_real in pending]
 
         if outputs:
             data = np.vstack(outputs)
