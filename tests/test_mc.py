@@ -155,3 +155,39 @@ def test_attention_weighted_embeddings():
     att[:, 3, :, :, 0] = 1.0  # all attention mass on channel 0
     fused = attention_weighted_embeddings(emb, att, fusion_layer=3)
     np.testing.assert_allclose(fused, emb[:, 0], rtol=1e-6)
+
+
+def test_mc_pipeline_end_to_end():
+    """MC pipeline mechanics: 3-channel synthetic audio -> RTTM."""
+    from diarizen_tpu.cluster import AgglomerativeClustering
+    from diarizen_tpu.infer.mc_pipeline import McDiarizationPipeline, McSlidingInference
+    from diarizen_tpu.infer.pipeline import EmbeddingInference
+    from diarizen_tpu.models.conformer import ConformerConfig
+    from diarizen_tpu.models.eend import EendConfig
+    from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
+
+    cfg = EendConfig(
+        wavlm=tiny_wavlm(n=4),
+        conformer=ConformerConfig(dim=32, ffn_hidden=64, num_heads=4, num_layers=1),
+        wavlm_layer_num=5, wavlm_feat_dim=32, attention_in=32, chunk_size=1.0,
+    )
+    fcfg = FusionConfig(hidden=16, num_heads=4, num_fusion_layers=2)
+    params, state = init_eend_mc_params(jax.random.PRNGKey(0), cfg, fcfg)
+    seg_inf = McSlidingInference(params, state, cfg, fcfg, num_channels=3, batch_size=4)
+
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    rparams = init_resnet_params(jax.random.PRNGKey(1), rcfg)
+    emb_inf = EmbeddingInference(
+        rparams, rcfg, window_size=seg_inf.window_size, num_speakers=4, batch_size=4,
+    )
+    pipe = McDiarizationPipeline(
+        seg_inference=seg_inf, emb_inference=emb_inf,
+        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=2),
+        eend_cfg=cfg, max_speakers=4, fusion_layer=1,
+    )
+    rng = np.random.default_rng(0)
+    wave = (0.1 * rng.standard_normal((3, 16000 * 4))).astype(np.float32)
+    ann = pipe(wave, 16000, uri="mc")
+    assert ann.uri == "mc"
+    for line in ann.to_rttm().splitlines():
+        assert line.startswith("SPEAKER mc")
