@@ -299,6 +299,9 @@ def _feature_extractor(
     for i, (block, (out_ch, kernel, stride)) in enumerate(
         zip(params["feature_extractor"]["conv_layers"], cfg.conv_layers)
     ):
+        # NOTE: a GEMM (even/odd phase) decomposition of these stride-2 convs
+        # was measured SLOWER than XLA's conv lowering (the (T, C) -> (T/2, 2C)
+        # relayout crosses the lane tiling); XLA conv it stays.
         x = conv1d(block["conv"], x, stride=stride)
         if "norm" in block:
             if cfg.extractor_mode == "group_norm" and i == 0:
