@@ -7,11 +7,12 @@ from diarizen_tpu.cluster.base import (
     filter_embeddings_by_frames,
     set_num_clusters,
 )
+from diarizen_tpu.cluster.oracle import OracleClustering
 from diarizen_tpu.cluster.vbx import VBxClustering, cluster_vbx, vbx, vbx_setup
 
 __all__ = [
     "AgglomerativeClustering", "ahc_cluster", "assign_embeddings",
     "constrained_argmax", "cosine_cdist", "filter_embeddings",
     "filter_embeddings_by_frames", "set_num_clusters",
-    "VBxClustering", "cluster_vbx", "vbx", "vbx_setup",
+    "VBxClustering", "cluster_vbx", "vbx", "vbx_setup", "OracleClustering",
 ]

@@ -171,6 +171,38 @@ class SlidingInference:
         chunks = SlidingWindow(start=0.0, duration=self.duration, step=self.step)
         return SlidingWindowFeature(data, chunks)
 
+    def aggregated(
+        self,
+        waveform: np.ndarray,
+        sample_rate: Optional[int] = None,
+        soft: bool = True,
+        warm_up: Tuple[float, float] = (0.0, 0.0),
+    ) -> SlidingWindowFeature:
+        """Full-aggregation mode: hamming overlap-add of per-chunk scores to a
+        single global frame sequence (the reference engine's default
+        skip_aggregation=False path, core/inference.py:543-666) — for
+        VAD/OSD-style frame-level consumption."""
+        from diarizen_tpu.ops.aggregate import aggregate
+
+        scores = self(waveform, sample_rate, soft=soft)
+        if waveform.ndim == 2:
+            waveform = waveform[0]
+        agg = aggregate(
+            scores,
+            receptive_field_window(self.cfg),
+            warm_up=warm_up,
+            hamming=True,
+            missing=0.0,
+        )
+        # trim the padding added to the orphan last chunk
+        num_frames_valid = (
+            receptive_field_window(self.cfg).closest_frame(
+                waveform.shape[0] / self.sample_rate
+            )
+        )
+        agg.data = agg.data[:num_frames_valid]
+        return agg
+
 
 def receptive_field_window(cfg: EendConfig) -> SlidingWindow:
     """Model output frame resolution as a SlidingWindow (the reference's

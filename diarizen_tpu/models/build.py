@@ -20,17 +20,13 @@ def _load_wavlm(wavlm_src: str, seed: int = 0):
     """Preset name ('wavlm_base'/'wavlm_large', random init) or a reference
     `{config, state_dict}` checkpoint path (incl. pruned s80 models)
     (reference model_wavlm_conformer.py:192-228 `load_wavlm`)."""
-    if wavlm_src in ("wavlm_base", "wavlm_base_plus"):
-        cfg = WavLMConfig.base()
-        params = None
-    elif wavlm_src == "wavlm_large":
-        cfg = WavLMConfig.large()
-        params = None
-    else:
-        from diarizen_tpu.models.convert import load_reference_wavlm_checkpoint
+    try:
+        return WavLMConfig.from_preset(wavlm_src), None
+    except ValueError:
+        pass
+    from diarizen_tpu.models.convert import load_reference_wavlm_checkpoint
 
-        cfg, params = load_reference_wavlm_checkpoint(wavlm_src)
-    return cfg, params
+    return load_reference_wavlm_checkpoint(wavlm_src)
 
 
 def wavlm_conformer(

@@ -148,6 +148,76 @@ class WavLMConfig:
         )
 
     @staticmethod
+    def base_s80_md() -> "WavLMConfig":
+        """DiariZen-Base-s80 multi-domain pruned architecture (released
+        checkpoint shapes; data from reference wavlm_config.py:114-168)."""
+        return WavLMConfig(
+            extractor_mode="group_norm",
+            conv_layers=((90, 10, 5), (161, 3, 2), (173, 3, 2), (181, 3, 2),
+                         (351, 3, 2), (155, 2, 2), (137, 2, 2)),
+            embed_dim=768,
+            num_layers=12,
+            use_attention=(True, True, True, True, True, True, True, True,
+                           False, False, True, True),
+            use_feed_forward=(True,) * 12,
+            total_num_heads=(12,) * 12,
+            remaining_heads=(
+                (1, 6), (5, 7, 8), (0, 3, 9), (0, 1, 4, 8, 11), (6, 8), (0,),
+                (7, 8, 10, 11), (0, 1, 4, 8), (), (), (4, 7), (5,),
+            ),
+            ff_interm_features=(666, 660, 649, 1080, 237, 299, 437, 573, 53,
+                                80, 211, 334),
+            layer_norm_first=False,
+            layer_drop=0.05,
+            normalize_waveform=False,
+        )
+
+    @staticmethod
+    def large_s80_md() -> "WavLMConfig":
+        """DiariZen-Large-s80 multi-domain pruned architecture
+        (reference wavlm_config.py:170-239)."""
+        return WavLMConfig(
+            extractor_mode="layer_norm",
+            conv_layers=((512, 10, 5), (153, 3, 2), (224, 3, 2), (255, 3, 2),
+                         (302, 3, 2), (368, 2, 2), (211, 2, 2)),
+            embed_dim=1024,
+            num_layers=24,
+            use_attention=(True, True, True, True, True, True, True, True,
+                           True, False, True, True, False, True, True, True,
+                           False, False, True, True, True, True, True, True),
+            use_feed_forward=(True,) * 24,
+            total_num_heads=(16,) * 24,
+            remaining_heads=(
+                (1, 2, 4, 5, 6), (9, 10, 14), (0, 1, 2, 4, 5, 7),
+                (1, 4, 7, 12, 13, 14), (0, 2, 3, 4, 13), (1, 7, 13, 14, 15),
+                (11, 13, 15), (2, 3, 4, 8, 15), (2, 5, 6, 15), (), (0, 1),
+                (1, 3, 5, 12), (), (4, 7, 11), (6, 9), (11,), (), (), (14,),
+                (5, 15), (0, 2, 8, 11, 13, 15), (0, 1, 3, 4, 5, 6, 7, 10, 13),
+                (0, 1, 3, 6, 7, 9, 10, 11, 12, 14), (1, 2, 3, 4, 7, 13, 14, 15),
+            ),
+            ff_interm_features=(1092, 925, 759, 646, 745, 615, 684, 958, 286,
+                                294, 406, 377, 463, 542, 298, 236, 96, 104,
+                                134, 211, 473, 1011, 1770, 1316),
+            layer_norm_first=True,
+            layer_drop=0.1,
+            normalize_waveform=True,
+        )
+
+    @staticmethod
+    def from_preset(name: str) -> "WavLMConfig":
+        """Preset registry (reference wavlm_config.py get_config)."""
+        presets = {
+            "wavlm_base": WavLMConfig.base,
+            "wavlm_base_plus": WavLMConfig.base,
+            "wavlm_large": WavLMConfig.large,
+            "wavlm_base_s80_md": WavLMConfig.base_s80_md,
+            "wavlm_large_s80_md": WavLMConfig.large_s80_md,
+        }
+        if name.lower() not in presets:
+            raise ValueError(f"unknown preset {name}; options: {sorted(presets)}")
+        return presets[name.lower()]()
+
+    @staticmethod
     def from_dict(d: dict) -> "WavLMConfig":
         """Rebuild from dataclasses.asdict JSON (lists -> tuples)."""
         d = dict(d)

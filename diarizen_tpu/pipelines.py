@@ -1,0 +1,118 @@
+"""High-level pipeline loader: local pretrained directory -> DiarizationPipeline.
+
+Reference parity: `DiariZenPipeline.from_pretrained`
+(diarizen/pipelines/inference.py:26-119) — a model directory contains
+`config.toml` (model + inference + clustering sections), the segmentation
+checkpoint (`pytorch_model.bin` torch format or `params.npz`), optionally a
+`plda/` dir for VBx and a WeSpeaker embedding checkpoint. This loader reads
+local directories (e.g. an HF snapshot fetched out-of-band); there is no hub
+download here (zero-egress environments).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+
+from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
+from diarizen_tpu.config import instantiate, load_toml
+from diarizen_tpu.core.audio import read_wav
+from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
+from diarizen_tpu.models.resnet import (
+    ResNetConfig,
+    init_resnet_params,
+    resnet_params_from_torch,
+)
+
+
+def from_pretrained(
+    model_dir: str | Path,
+    embedding_ckpt: Optional[str | Path] = None,
+    rttm_out_dir: Optional[str | Path] = None,
+    mesh=None,
+) -> DiarizationPipeline:
+    """Build the full diarization pipeline from a local pretrained dir."""
+    model_dir = Path(model_dir)
+    config = load_toml(model_dir / "config.toml")
+
+    cfg, params, state = instantiate(
+        config["model"]["path"], config["model"].get("args", {})
+    )
+    ckpt_bin = model_dir / "pytorch_model.bin"
+    ckpt_npz = model_dir / "params.npz"
+    if ckpt_bin.exists():
+        from diarizen_tpu.models.convert import load_eend_checkpoint
+
+        params, state = load_eend_checkpoint(str(ckpt_bin), cfg)
+    elif ckpt_npz.exists():
+        from diarizen_tpu.train.checkpoint import load_pytree
+
+        params = load_pytree(ckpt_npz)
+
+    inference_args = config.get("inference", {}).get("args", {})
+    seg_duration = float(inference_args.get("seg_duration", 8))
+    batch_size = inference_args.get("batch_size", 32)
+    seg_inf = SlidingInference(
+        params, state, cfg, duration=seg_duration,
+        step=inference_args.get("segmentation_step", 0.1) * seg_duration,
+        batch_size=batch_size, mesh=mesh,
+    )
+
+    rcfg = ResNetConfig()
+    if embedding_ckpt is not None:
+        import torch
+
+        sd = torch.load(embedding_ckpt, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        rparams = resnet_params_from_torch(sd, rcfg)
+    else:
+        rparams = jax.jit(lambda k: init_resnet_params(k, rcfg))(jax.random.PRNGKey(0))
+    emb_inf = EmbeddingInference(
+        rparams, rcfg, window_size=seg_inf.window_size,
+        num_speakers=cfg.max_speakers_per_chunk, batch_size=batch_size, mesh=mesh,
+    )
+
+    cl = config.get("clustering", {}).get("args", {})
+    method = cl.get("method", "AgglomerativeClustering")
+    if method in ("AHC", "AgglomerativeClustering"):
+        clustering = AgglomerativeClustering(
+            threshold=cl.get("ahc_threshold", 0.70),
+            min_cluster_size=cl.get("min_cluster_size", 30),
+        )
+    else:
+        clustering = VBxClustering(
+            plda_dir=str(model_dir / "plda"),
+            ahc_criterion=cl.get("ahc_criterion", "distance"),
+            ahc_threshold=cl.get("ahc_threshold", 0.6),
+            fa=cl.get("Fa", 0.07), fb=cl.get("Fb", 0.8),
+            lda_dim=cl.get("lda_dim", 128), max_iters=cl.get("max_iters", 20),
+        )
+
+    pipeline = DiarizationPipeline(
+        seg_inference=seg_inf,
+        emb_inference=emb_inf,
+        clustering=clustering,
+        eend_cfg=cfg,
+        min_speakers=cl.get("min_speakers", 1),
+        max_speakers=cl.get("max_speakers", 8),
+        apply_median_filtering=inference_args.get("apply_median_filtering", True),
+    )
+    pipeline.rttm_out_dir = Path(rttm_out_dir) if rttm_out_dir else None
+    return pipeline
+
+
+def diarize_file(pipeline: DiarizationPipeline, wav_path: str | Path,
+                 uri: Optional[str] = None):
+    """Convenience: wav path -> Annotation (+ RTTM file when the pipeline has
+    an rttm_out_dir, reference inference.py:186-192)."""
+    uri = uri or Path(wav_path).stem
+    wave, sr = read_wav(wav_path)
+    ann = pipeline(wave, sr, uri=uri)
+    out_dir = getattr(pipeline, "rttm_out_dir", None)
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / f"{uri}.rttm").write_text(ann.to_rttm())
+    return ann

@@ -40,6 +40,22 @@ def warmup_schedule(
     return schedule
 
 
+def noam_schedule(model_size: int, warmup: int, factor: float = 1.0) -> optax.Schedule:
+    """Noam LR: d^-0.5 * min(step^-0.5, step * warmup^-1.5)
+    (reference diarizen/noam_updater.py:10-65)."""
+
+    def schedule(step):
+        s = jnp.maximum(step + 1, 1).astype(jnp.float32)
+        return factor * model_size ** -0.5 * jnp.minimum(s ** -0.5, s * warmup ** -1.5)
+
+    return schedule
+
+
+def noam_adamw(model_size: int, warmup: int, factor: float = 1.0,
+               weight_decay: float = 0.0) -> optax.GradientTransformation:
+    return optax.adamw(noam_schedule(model_size, warmup, factor), weight_decay=weight_decay)
+
+
 class AutoClipState(NamedTuple):
     history: jnp.ndarray  # (capacity,) grad-norm ring buffer
     count: jnp.ndarray  # () int32 number of valid entries
