@@ -36,7 +36,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_head_block(h: int) -> int:
-    for hb in (4, 3, 2):
+    for hb in (6, 4, 3, 2):
         if h % hb == 0:
             return hb
     return 1
