@@ -116,6 +116,36 @@ def adamw_with_warmup(
     return optax.chain(*chain)
 
 
+def one_cycle_schedule(max_lr: float, total_steps: int, pct_start: float = 0.3) -> optax.Schedule:
+    """OneCycle LR (reference trainer option `use_one_cycle_lr`,
+    trainer_dual_opt.py:330-362)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=total_steps, peak_value=max_lr, pct_start=pct_start
+    )
+
+
+def reduce_on_plateau(
+    factor: float = 0.5, patience: int = 3, min_scale: float = 1e-3
+) -> optax.GradientTransformation:
+    """ReduceLROnPlateau (reference `lr_decay` option): wrap after the base
+    optimizer and feed the monitored value via
+    `optimizer.update(..., value=loss)` (optax.contrib API)."""
+    return optax.contrib.reduce_on_plateau(
+        factor=factor, patience=patience, min_scale=min_scale
+    )
+
+
+def with_gradient_accumulation(
+    optimizer: optax.GradientTransformation, every_k: int
+) -> optax.GradientTransformation:
+    """Gradient accumulation over k micro-batches (reference
+    `accelerator.accumulate`, trainer_dual_opt.py:470) as optax.MultiSteps —
+    the train step stays unchanged; params update every k-th call."""
+    if every_k <= 1:
+        return optimizer
+    return optax.MultiSteps(optimizer, every_k_schedule=every_k)
+
+
 def dual_lr_optimizer(
     labels: Any,
     lr_small: float = 2e-5,

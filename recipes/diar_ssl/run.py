@@ -90,6 +90,12 @@ def run(config: dict, mode: str, exp_dir: Path) -> None:
             clip_percentile=trainer_args.get("gradient_percentile", 90),
         )
 
+    accum = trainer_args.get("gradient_accumulation_steps", 1)
+    if accum > 1:
+        from diarizen_tpu.train.optim import with_gradient_accumulation
+
+        optimizer = with_gradient_accumulation(optimizer, accum)
+
     tc = TrainerConfig(
         exp_dir=str(exp_dir),
         max_epochs=trainer_args.get("max_epochs", 100),

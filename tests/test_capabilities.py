@@ -138,3 +138,50 @@ def tiny_builder(**kw):
     ann = pipelines.diarize_file(pipe, wav)
     assert (tmp_path / "rttm" / "x.rttm").exists()
     assert ann.uri == "x"
+
+
+def test_vad_osd_pipelines():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import tiny_eend_cfg
+    from diarizen_tpu.infer import SlidingInference
+    from diarizen_tpu.infer.vad import OverlappedSpeechDetection, VoiceActivityDetection
+    from diarizen_tpu.models.eend import init_eend_params
+
+    cfg = tiny_eend_cfg(chunk_size=1.0)
+    params, state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    inf = SlidingInference(params, state, cfg, batch_size=4)
+    wave = (0.1 * np.random.default_rng(0).standard_normal((1, 16000 * 3))).astype(np.float32)
+
+    vad = VoiceActivityDetection(inf)(wave, 16000, uri="v")
+    assert set(vad.labels()) <= {"SPEECH"}
+    osd = OverlappedSpeechDetection(inf)(wave, 16000, uri="o")
+    assert set(osd.labels()) <= {"OVERLAP"}
+
+
+def test_gradient_accumulation_and_plateau():
+    import optax
+
+    from diarizen_tpu.train.optim import reduce_on_plateau, with_gradient_accumulation
+
+    opt = with_gradient_accumulation(optax.sgd(1.0), every_k=3)
+    params = {"w": jnp.zeros(())}
+    state = opt.init(params)
+    g = {"w": jnp.ones(())}
+    # the first k-1 updates are zero; the k-th applies the mean gradient
+    for i in range(2):
+        updates, state = opt.update(g, state, params)
+        assert float(updates["w"]) == 0.0
+    updates, state = opt.update(g, state, params)
+    assert float(updates["w"]) == pytest.approx(-1.0)
+
+    plateau = reduce_on_plateau(factor=0.5, patience=1)
+    pstate = plateau.init(params)
+    u = {"w": jnp.asarray(1.0)}
+    # non-improving values shrink the scale after `patience` steps
+    scales = []
+    for v in [1.0, 1.0, 1.0, 1.0]:
+        out, pstate = plateau.update(u, pstate, params, value=v)
+        scales.append(float(out["w"]))
+    assert scales[-1] < scales[0]
