@@ -153,15 +153,20 @@ def dual_lr_optimizer(
     warmup_steps: int = 0,
     weight_decay: float = 0.01,
     clip_percentile: Optional[float] = 90.0,
+    freeze_wavlm: bool = False,
 ) -> optax.GradientTransformation:
     """One optimizer, two LR groups ('wavlm' small / 'other' big) — the
     reference's optimizer_small/optimizer_big split as an optax
-    multi_transform over the label pytree from eend.non_wavlm_param_labels."""
+    multi_transform over the label pytree from eend.non_wavlm_param_labels.
+    `freeze_wavlm` zeroes the trunk's updates (reference trainer option)."""
+    wavlm_opt = (
+        optax.set_to_zero()
+        if freeze_wavlm
+        else optax.adamw(warmup_schedule(lr_small, warmup_steps), weight_decay=weight_decay)
+    )
     opt = optax.multi_transform(
         {
-            "wavlm": optax.adamw(
-                warmup_schedule(lr_small, warmup_steps), weight_decay=weight_decay
-            ),
+            "wavlm": wavlm_opt,
             "other": optax.adamw(
                 warmup_schedule(lr_big, warmup_steps), weight_decay=weight_decay
             ),

@@ -57,6 +57,8 @@ class TrainerConfig:
     compute_dtype: str = "bfloat16"
     log_every: int = 50
     seed: int = 3407
+    validation_interval: int = 1  # validate every N epochs (reference option)
+    monitor_mode: str = "min"  # "min" | "max" (reference save_max_score)
 
 
 class Trainer:
@@ -196,6 +198,10 @@ class Trainer:
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
             train_metrics = self.train_epoch(train_loader, epoch, rng)
+            if (epoch + 1) % self.tc.validation_interval != 0:
+                append_metrics(self.exp_dir, {"epoch": epoch, **train_metrics,
+                                              "step": int(self.state.step)})
+                continue
             val_metrics = self.validate(val_loader)
             last_val = val_metrics
             logger.info(
@@ -207,6 +213,8 @@ class Trainer:
                 self._log_scalar(f"val/{k}", v, step)
 
             score = val_metrics[self.tc.monitor]
+            if self.tc.monitor_mode == "max":
+                score = -score
             improved = score < self.best_score
             if improved:
                 self.best_score = score
