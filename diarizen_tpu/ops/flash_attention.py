@@ -35,11 +35,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_head_block(h: int) -> int:
-    for hb in (6, 4, 3, 2):
-        if h % hb == 0:
-            return hb
-    return 1
+VMEM_BUDGET = 10 * 1024 * 1024  # conservative per-program working-set cap
+
+
+def _vmem_bytes(hb: int, bq: int, tp: int, dp: int, itemsize: int) -> int:
+    """Per-program VMEM: io blocks are DOUBLE-buffered by the Mosaic pipeline
+    (measured: actual scoped usage = 2x block bytes + live scores)."""
+    qo = 2 * hb * bq * dp * itemsize
+    kv = 2 * hb * tp * dp * itemsize
+    bias = hb * bq * tp * itemsize
+    scores = bq * tp * 4  # f32 s/p live per head sequentially
+    return 2 * (qo + kv + bias) + scores
+
+
+def _pick_blocks(h: int, t: int, dp: int, itemsize: int):
+    """Choose (head-block, q-block) so the working set fits VMEM; None if even
+    the smallest configuration does not fit (caller falls back to XLA)."""
+    for hb in (6, 4, 3, 2, 1):
+        if h % hb:
+            continue
+        for bq in (512, 256, 128):
+            tp = _round_up(t, bq)
+            if bq > tp:
+                continue
+            if _vmem_bytes(hb, bq, tp, dp, itemsize) <= VMEM_BUDGET:
+                return hb, bq
+    return None
 
 
 def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, o_ref, *, scale: float, t_valid: int, hb: int):
@@ -85,12 +106,15 @@ def flash_attention_gated_bias(
         interpret = jax.default_backend() != "tpu"
     b, h, t, d = q.shape
     scale = 1.0 / np.sqrt(d)
-    bq = min(_round_up(t, 128), MAX_BQ)
-    tp = _round_up(t, bq)
     # pad head dim to the 128-lane width: measured faster than a 64-wide
     # last dim (MXU tiles at full lanes) despite the extra zero traffic
     dp = _round_up(d, 128)
-    hb = _pick_head_block(h)
+    blocks = _pick_blocks(h, t, dp, q.dtype.itemsize)
+    if blocks is None:  # working set cannot fit VMEM -> XLA path
+        return xla_attention_gated_bias(q, k, v, pos_bias, gate)
+    hb, bq = blocks
+    bq = min(bq, MAX_BQ)
+    tp = _round_up(t, bq)
 
     def pad(x, pads):
         return jnp.pad(x, pads) if any(p0 or p1 for p0, p1 in pads) else x

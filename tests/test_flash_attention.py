@@ -81,3 +81,28 @@ def test_wavlm_flash_path_matches_xla_path():
 
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4)
+
+
+def test_flash_long_sequence_f32():
+    """Long-T f32 case must pick VMEM-safe blocks (regression: 1599-frame
+    chunks at f32 OOMed scoped VMEM with the fixed hb=4/bq=512 choice)."""
+    from diarizen_tpu.ops.flash_attention import _pick_blocks, _vmem_bytes, VMEM_BUDGET
+
+    blocks = _pick_blocks(h=4, t=1599, dp=128, itemsize=4)
+    assert blocks is not None
+    hb, bq = blocks
+    tp = ((1599 + bq - 1) // bq) * bq
+    assert _vmem_bytes(hb, bq, tp, 128, 4) <= VMEM_BUDGET
+
+    rng = np.random.default_rng(0)
+    b, h, t, d = 1, 2, 700, 64
+    q = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, t, d)).astype(np.float32)
+    pos = rng.standard_normal((h, t, t)).astype(np.float32)
+    gate = rng.uniform(1.0, 2.0, (b, h, t)).astype(np.float32)
+    expected = np.asarray(xla_attention_gated_bias(
+        *[jnp.asarray(x) for x in (q, k, v, pos, gate)]))
+    got = np.asarray(flash_attention_gated_bias(
+        *[jnp.asarray(x) for x in (q, k, v, pos, gate)], interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-4)
