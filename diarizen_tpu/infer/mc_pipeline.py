@@ -189,7 +189,9 @@ class McDiarizationPipeline:
             emb = self.emb_inference(wave_device, starts[:num_chunks], weights)
             per_channel.append(emb)
         per_channel = np.stack(per_channel, axis=1)  # (chunks, C, S, D)
-        return attention_weighted_embeddings(per_channel, att, self.fusion_layer)
+        # reference uses fusion layer 3 of 4; clamp for smaller fusion stacks
+        fusion_layer = min(self.fusion_layer, att.shape[1] - 1)
+        return attention_weighted_embeddings(per_channel, att, fusion_layer)
 
     def emb_prepare(self, channel_wave: np.ndarray):
         """Single-channel device waveform + the SAME window starts as the MC

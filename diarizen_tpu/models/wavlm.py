@@ -535,6 +535,11 @@ def wavlm_extract_features(
     waveform layer-norm (Large), conv front-end, GradMultiply, projection,
     pos-conv, per-layer intermediate collection.
     """
+    if cfg.num_frames(waveforms.shape[-1]) < 1:
+        raise ValueError(
+            f"input of {waveforms.shape[-1]} samples is shorter than the conv "
+            f"receptive field ({cfg.frame_stride + 80} samples) — zero output frames"
+        )
     if cfg.normalize_waveform:
         mean = jnp.mean(waveforms, axis=-1, keepdims=True)
         var = jnp.var(waveforms, axis=-1, keepdims=True)
