@@ -439,15 +439,21 @@ def _self_attention(
     q = split_heads(linear(p["q"], x))
     k = split_heads(linear(p["k"], x))
     v = split_heads(linear(p["v"], x))
-    # Pallas fused-bias flash kernel for the inference path: the (B, H, T, T)
-    # gated bias and score matrices never reach HBM. Training keeps the XLA
-    # path (dropout + backward).
-    use_flash = (not train) and use_flash_attention() and gate_sel is not None
+    # Pallas fused-bias flash kernel: the (B, H, T, T) gated bias and score
+    # matrices never reach HBM. Train path uses the custom-VJP variant (flash
+    # backward); attention dropout forces the XLA path (the kernel has none).
+    use_flash = (
+        use_flash_attention()
+        and gate_sel is not None
+        and (not train or cfg.attention_dropout == 0.0)
+    )
     if use_flash:
-        from diarizen_tpu.ops.flash_attention import flash_attention_gated_bias
+        from diarizen_tpu.ops.flash_attention import (
+            flash_attention_gated_bias_trainable,
+        )
 
         pos_sel = position_bias[np.asarray(remaining, dtype=np.int64)]  # (nh, T, T)
-        out = flash_attention_gated_bias(q, k, v, pos_sel, gate_sel)
+        out = flash_attention_gated_bias_trainable(q, k, v, pos_sel, gate_sel)
     else:
         if gate_sel is not None:
             bias = gate_sel[:, :, :, None] * position_bias[

@@ -145,6 +145,153 @@ def flash_attention_gated_bias(
     return out[:, :, :t, :d]
 
 
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, p_ref, g_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, dp_ref, dg_ref,
+    *, scale: float, t_valid: int, hb: int, nb: int,
+):
+    """Backward: recompute S/w per (head-group, batch) program, emit
+    dq/dk/dv/dgate; dP accumulates across the batch grid dimension (batch is
+    the INNER grid axis so the dP output block persists between steps)."""
+    b = pl.program_id(1)
+    for hh in range(hb):
+        q = q_ref[0, hh].astype(jnp.float32) * scale
+        k = k_ref[0, hh].astype(jnp.float32)
+        v = v_ref[0, hh].astype(jnp.float32)
+        do = do_ref[0, hh].astype(jnp.float32)
+        p_bias = p_ref[hh].astype(jnp.float32)
+        gate = g_ref[0, hh].astype(jnp.float32)  # (Tp, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + gate * p_bias
+        tp = s.shape[1]
+        if t_valid < tp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -1e30)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)  # (Tp, Tp)
+
+        dw = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tp, Tp)
+        r = jnp.sum(dw * w, axis=-1, keepdims=True)
+        ds = w * (dw - r)
+        if t_valid < tp:
+            ds = jnp.where(col < t_valid, ds, 0.0)
+
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tp, D); note q already carries `scale`
+        dv = jax.lax.dot_general(
+            w, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[0, hh] = dq.astype(dq_ref.dtype)
+        dk_ref[0, hh] = dk.astype(dk_ref.dtype)
+        dv_ref[0, hh] = dv.astype(dv_ref.dtype)
+        dg_ref[0, hh] = jnp.sum(ds * p_bias, axis=-1, keepdims=True).astype(dg_ref.dtype)
+
+        contrib = (gate * ds).astype(jnp.float32)
+
+        @pl.when(b == 0)
+        def _():
+            dp_ref[hh] = contrib
+
+        @pl.when(b > 0)
+        def _():
+            dp_ref[hh] = dp_ref[hh] + contrib
+    del nb
+
+
+def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool):
+    b, h, t, d = q.shape
+    scale = 1.0 / np.sqrt(d)
+    dp_ = _round_up(d, 128)
+    # full-T blocks; backward working set ~ (4 io + 3 f32 TpxTp) per head
+    tp = _round_up(t, 128)
+    hb = 1
+    pads4 = [(0, 0), (0, 0), (0, tp - t), (0, dp_ - d)]
+    qf, kf, vf, dof = (jnp.pad(x, pads4) for x in (q, k, v, do))
+    pf = jnp.pad(pos_bias, [(0, 0), (0, tp - t), (0, tp - t)]).astype(q.dtype)
+    gf = jnp.pad(gate[..., None], [(0, 0), (0, 0), (0, tp - t), (0, 0)]).astype(jnp.float32)
+
+    grid = (h // hb, b)  # batch INNER so the dP block persists per head-group
+    io = lambda i, j: (j, i, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, t_valid=t, hb=hb, nb=b),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, tp, tp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, 1), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, tp, tp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, 1), io, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, tp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((b, h, tp, dp_), q.dtype),
+            jax.ShapeDtypeStruct((h, tp, tp), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, pf, gf, dof)
+    dq, dk, dv, dp, dg = out
+    return (
+        dq[:, :, :t, :d],
+        dk[:, :, :t, :d],
+        dv[:, :, :t, :d],
+        dp[:, :t, :t].astype(pos_bias.dtype),
+        dg[:, :, :t, 0].astype(gate.dtype),
+    )
+
+
+def _bwd_vmem_ok(h: int, t: int, d: int, itemsize: int) -> bool:
+    tp = _round_up(t, 128)
+    dp_ = _round_up(d, 128)
+    io = 2 * (7 * tp * dp_ * itemsize + tp * tp * itemsize + tp * tp * 4)
+    live = 3 * tp * tp * 4  # s/w/ds f32
+    return io + live <= 14 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def flash_attention_gated_bias_trainable(q, k, v, pos_bias, gate):
+    """Differentiable fused-bias attention (NO attention dropout — callers
+    must fall back to the XLA path when dropout is active)."""
+    return flash_attention_gated_bias(q, k, v, pos_bias, gate)
+
+
+def _trainable_fwd(q, k, v, pos_bias, gate):
+    return flash_attention_gated_bias(q, k, v, pos_bias, gate), (q, k, v, pos_bias, gate)
+
+
+def _trainable_bwd(res, do):
+    q, k, v, pos_bias, gate = res
+    b, h, t, d = q.shape
+    interpret = jax.default_backend() != "tpu"
+    if not _bwd_vmem_ok(h, t, d, q.dtype.itemsize):
+        # long-T fallback: XLA vjp of the reference formulation
+        _, vjp = jax.vjp(xla_attention_gated_bias, q, k, v, pos_bias, gate)
+        return vjp(do)
+    return _flash_bwd(q, k, v, pos_bias, gate, do, interpret)
+
+
+flash_attention_gated_bias_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
 def xla_attention_gated_bias(q, k, v, pos_bias, gate):
     """Reference XLA path (used for training and as kernel fallback/oracle)."""
     d = q.shape[-1]

@@ -106,3 +106,68 @@ def test_flash_long_sequence_f32():
     got = np.asarray(flash_attention_gated_bias(
         *[jnp.asarray(x) for x in (q, k, v, pos, gate)], interpret=True))
     np.testing.assert_allclose(got, expected, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("t", [64, 130], ids=["aligned", "ragged"])
+def test_flash_backward_matches_xla(t):
+    """Custom-VJP flash backward vs XLA autodiff on all five inputs."""
+    from diarizen_tpu.ops.flash_attention import flash_attention_gated_bias_trainable
+
+    rng = np.random.default_rng(3)
+    b, h, d = 2, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((h, t, t)), jnp.float32)
+    gate = jnp.asarray(rng.uniform(1.0, 2.0, (b, h, t)), jnp.float32)
+    tangent = jnp.asarray(rng.standard_normal((b, h, t, d)), jnp.float32)
+
+    def loss_flash(*args):
+        return jnp.sum(flash_attention_gated_bias_trainable(*args) * tangent)
+
+    def loss_xla(*args):
+        return jnp.sum(xla_attention_gated_bias(*args) * tangent)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, pos, gate)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, v, pos, gate)
+    for name, a, b_ in zip(["dq", "dk", "dv", "dpos", "dgate"], g_flash, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3, err_msg=name
+        )
+
+
+def test_wavlm_train_grads_flash_vs_xla():
+    """Full-model gradient parity: flash-train path vs XLA path (dropout 0)."""
+    from diarizen_tpu.models.wavlm import (
+        WavLMConfig,
+        init_wavlm_params,
+        set_flash_attention,
+        wavlm_extract_features,
+    )
+
+    n = 2
+    cfg = WavLMConfig(
+        conv_layers=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+        embed_dim=64, num_layers=n,
+        use_attention=(True,) * n, use_feed_forward=(True,) * n,
+        total_num_heads=(2,) * n, remaining_heads=(tuple(range(2)),) * n,
+        ff_interm_features=(64,) * n, num_buckets=16, max_distance=20,
+        layer_drop=0.0, dropout=0.0, attention_dropout=0.0, projection_dropout=0.0,
+    )
+    params = init_wavlm_params(jax.random.PRNGKey(0), cfg)
+    wave = jax.random.normal(jax.random.PRNGKey(1), (2, 3000)) * 0.1
+
+    def loss(p, flag):
+        set_flash_attention(flag)
+        try:
+            hs = wavlm_extract_features(p, cfg, wave, train=True, rng=None)
+            return jnp.mean(hs[-1] ** 2)
+        finally:
+            set_flash_attention(None)
+
+    g_xla = jax.grad(lambda p: loss(p, False))(params)
+    g_flash = jax.grad(lambda p: loss(p, True))(params)
+    flat_x = jax.tree_util.tree_leaves(g_xla)
+    flat_f = jax.tree_util.tree_leaves(g_flash)
+    for a, b in zip(flat_x, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=1e-5)
