@@ -441,19 +441,24 @@ def _self_attention(
     v = split_heads(linear(p["v"], x))
     # Pallas fused-bias flash kernel: the (B, H, T, T) gated bias and score
     # matrices never reach HBM. Train path uses the custom-VJP variant (flash
-    # backward); attention dropout forces the XLA path (the kernel has none).
-    use_flash = (
-        use_flash_attention()
-        and gate_sel is not None
-        and (not train or cfg.attention_dropout == 0.0)
-    )
+    # backward) with in-kernel deterministic attention dropout.
+    use_flash = use_flash_attention() and gate_sel is not None
     if use_flash:
         from diarizen_tpu.ops.flash_attention import (
             flash_attention_gated_bias_trainable,
         )
 
         pos_sel = position_bias[np.asarray(remaining, dtype=np.int64)]  # (nh, T, T)
-        out = flash_attention_gated_bias_trainable(q, k, v, pos_sel, gate_sel)
+        rate = cfg.attention_dropout if (train and rng is not None) else 0.0
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                jax.random.fold_in(rng, 2 * i), (), 0, np.iinfo(np.int32).max,
+                dtype=jnp.int32,
+            )
+        out = flash_attention_gated_bias_trainable(
+            q, k, v, pos_sel, gate_sel, dropout_rate=rate, seed=seed
+        )
     else:
         if gate_sel is not None:
             bias = gate_sel[:, :, :, None] * position_bias[

@@ -48,6 +48,40 @@ def _vmem_bytes(hb: int, bq: int, tp: int, dp: int, itemsize: int) -> int:
     return 2 * (qo + kv + bias) + scores
 
 
+def _forward_plan(h: int, t: int, dp: int, itemsize: int, rate: float,
+                  need_bwd: bool = False):
+    """Single source of truth for fwd/bwd: returns (hb, bq, tp) when the
+    Pallas kernel applies, else None (XLA path). Dropout additionally
+    requires a single q-block (masks must regenerate identically in
+    backward) and — when the call is differentiable — a VMEM-fitting
+    backward, so fwd and bwd always share one implementation/mask."""
+    if rate > 0.0:
+        # dropout needs a SINGLE q-block per head (bq == tp) so the backward
+        # regenerates identical masks — search head-blocks at full-T panels
+        tp = _round_up(t, 128)
+        if tp > MAX_BQ:
+            return None
+        if need_bwd and not _bwd_vmem_ok_tp(tp, dp, itemsize):
+            return None
+        for hb in (6, 4, 3, 2, 1):
+            if h % hb == 0 and _vmem_bytes(hb, tp, tp, dp, itemsize) <= VMEM_BUDGET:
+                return hb, tp, tp
+        return None
+    blocks = _pick_blocks(h, t, dp, itemsize)
+    if blocks is None:
+        return None
+    hb, bq = blocks
+    bq = min(bq, MAX_BQ)
+    tp = _round_up(t, bq)
+    return hb, bq, tp
+
+
+def _bwd_vmem_ok_tp(tp: int, dp_: int, itemsize: int) -> bool:
+    io = 2 * (7 * tp * dp_ * itemsize + tp * tp * itemsize + tp * tp * 4)
+    live = 3 * tp * tp * 4
+    return io + live <= 14 * 1024 * 1024
+
+
 def _pick_blocks(h: int, t: int, dp: int, itemsize: int):
     """Choose (head-block, q-block) so the working set fits VMEM; None if even
     the smallest configuration does not fit (caller falls back to XLA)."""
@@ -63,9 +97,48 @@ def _pick_blocks(h: int, t: int, dp: int, itemsize: int):
     return None
 
 
-def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, o_ref, *, scale: float, t_valid: int, hb: int):
+def _dropout_mask(seed, b, h_global, shape, rate: float):
+    """Deterministic per-(batch, global-head, position) dropout KEEP mask in
+    {0, 1/keep}, regenerated identically by the backward kernel. Pure-vector
+    murmur3-finalizer hash (portable: pltpu.prng_* has no CPU/interpret
+    lowering; hash quality is ample for dropout)."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    # multiply-free mixing: 32-bit integer multiplies are slow on the VPU
+    # (measured ~50 ms/step of pure hashing with a murmur-style hash);
+    # xorshift rounds on (row, col, seed) are adds/xors/shifts only
+    # full murmur avalanche on the SCALAR seed (scalar multiplies are cheap;
+    # only the per-element vector ops must avoid 32-bit multiplies)
+    s0 = (
+        seed.astype(jnp.uint32)
+        + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + jnp.uint32(h_global).astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    )
+    s0 = s0 ^ (s0 >> 16)
+    s0 = s0 * jnp.uint32(0x85EBCA6B)
+    s0 = s0 ^ (s0 >> 13)
+    s0 = s0 * jnp.uint32(0xC2B2AE35)
+    s1 = s0 ^ (s0 >> 16)
+    s2 = s1 * jnp.uint32(0x9E3779B1)  # second independent scalar stream
+    x = ((r + s1) << 16) ^ (c + s2)
+    x ^= x << 13
+    x ^= x >> 17
+    x ^= x << 5
+    x = x + (r ^ (c << 11)) + s1
+    x ^= x << 13
+    x ^= x >> 17
+    x ^= x << 5
+    threshold = jnp.uint32(int(rate * (2**32 - 1)))
+    keep = (x >= threshold).astype(jnp.float32)
+    return keep / (1.0 - rate)
+
+
+def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, seed_ref, o_ref,
+            *, scale: float, t_valid: int, hb: int, rate: float):
     # q_ref: (1, HB, BQ, D), k_ref/v_ref: (1, HB, Tp, D), p_ref: (HB, BQ, Tp),
-    # g_ref: (1, HB, BQ, 1), o_ref: (1, HB, BQ, D)
+    # g_ref: (1, HB, BQ, 1), seed_ref: (1, 1) SMEM, o_ref: (1, HB, BQ, D)
+    b = pl.program_id(0)
+    g_idx = pl.program_id(1)
     for hh in range(hb):  # static unroll over the head group
         q = q_ref[0, hh].astype(jnp.float32) * scale
         k = k_ref[0, hh].astype(jnp.float32)
@@ -82,9 +155,12 @@ def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, o_ref, *, scale: float, t_valid: 
 
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
-        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        w = p / jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:  # in-kernel attention dropout (rate is static)
+            w = w * _dropout_mask(seed_ref[0, 0], b, g_idx * hb + hh, w.shape, rate)
         o = jax.lax.dot_general(
-            w, v_ref[0, hh], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            w.astype(v_ref.dtype), v_ref[0, hh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         o_ref[0, hh] = o.astype(o_ref.dtype)
 
@@ -96,10 +172,16 @@ def flash_attention_gated_bias(
     pos_bias: jnp.ndarray,
     gate: jnp.ndarray,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    seed: Optional[jnp.ndarray] = None,
+    _need_bwd: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: (B, H, T, D); pos_bias: (H, T, T); gate: (B, H, T).
 
-    Returns (B, H, T, D) = softmax(q k^T / sqrt(D) + gate * pos_bias) v.
+    Returns (B, H, T, D) = softmax(q k^T / sqrt(D) + gate * pos_bias) v,
+    optionally with attention dropout (deterministic per (seed, batch, head)
+    in-kernel PRNG; requires a single q-block per head -> falls back to an
+    equivalent XLA implementation otherwise).
     `interpret` defaults to True off-TPU (tests on the CPU mesh).
     """
     if interpret is None:
@@ -109,12 +191,13 @@ def flash_attention_gated_bias(
     # pad head dim to the 128-lane width: measured faster than a 64-wide
     # last dim (MXU tiles at full lanes) despite the extra zero traffic
     dp = _round_up(d, 128)
-    blocks = _pick_blocks(h, t, dp, q.dtype.itemsize)
-    if blocks is None:  # working set cannot fit VMEM -> XLA path
-        return xla_attention_gated_bias(q, k, v, pos_bias, gate)
-    hb, bq = blocks
-    bq = min(bq, MAX_BQ)
-    tp = _round_up(t, bq)
+    if dropout_rate > 0.0 and seed is None:
+        raise ValueError("dropout_rate > 0 requires a seed")
+    plan = _forward_plan(h, t, dp, q.dtype.itemsize, dropout_rate, need_bwd=_need_bwd)
+    if plan is None:  # VMEM or dropout-blocking constraint -> XLA path
+        return xla_attention_gated_bias(q, k, v, pos_bias, gate,
+                                        dropout_rate=dropout_rate, seed=seed)
+    hb, bq, tp = plan
 
     def pad(x, pads):
         return jnp.pad(x, pads) if any(p0 or p1 for p0, p1 in pads) else x
@@ -127,9 +210,12 @@ def flash_attention_gated_bias(
     pf = pad(pos_bias, [(0, 0), (0, tp - t), (0, tp - t)]).astype(q.dtype)
     gf = pad(gate[..., None], [(0, 0), (0, 0), (0, tp - t), (0, 0)]).astype(jnp.float32)
 
+    seed_arr = jnp.reshape(
+        (seed if seed is not None else jnp.zeros((), jnp.int32)).astype(jnp.int32), (1, 1)
+    )
     grid = (b, h // hb, tp // bq)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, t_valid=t, hb=hb),
+        functools.partial(_kernel, scale=scale, t_valid=t, hb=hb, rate=dropout_rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, hb, bq, dp), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
@@ -137,18 +223,19 @@ def flash_attention_gated_bias(
             pl.BlockSpec((1, hb, tp, dp), lambda i, g, j: (i, g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hb, bq, tp), lambda i, g, j: (g, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, bq, 1), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, g, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, hb, bq, dp), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, dp), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, pf, gf)
+    )(qf, kf, vf, pf, gf, seed_arr)
     return out[:, :, :t, :d]
 
 
 def _bwd_kernel(
-    q_ref, k_ref, v_ref, p_ref, g_ref, do_ref,
+    q_ref, k_ref, v_ref, p_ref, g_ref, do_ref, seed_ref,
     dq_ref, dk_ref, dv_ref, dp_ref, dg_ref,
-    *, scale: float, t_valid: int, hb: int, nb: int,
+    *, scale: float, t_valid: int, hb: int, nb: int, rate: float,
 ):
     """Backward: recompute S/w per (head-group, batch) program, emit
     dq/dk/dv/dgate; dP accumulates across the batch grid dimension (batch is
@@ -173,10 +260,18 @@ def _bwd_kernel(
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         w = e / jnp.sum(e, axis=-1, keepdims=True)  # (Tp, Tp)
+        if rate > 0.0:  # regenerate the forward's mask (same seed derivation)
+            h_global = pl.program_id(0) * hb + hh
+            m = _dropout_mask(seed_ref[0, 0], b, h_global, w.shape, rate)
+            w_used = w * m
+        else:
+            w_used = w
 
         dw = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Tp, Tp)
+        if rate > 0.0:
+            dw = dw * m
         r = jnp.sum(dw * w, axis=-1, keepdims=True)
         ds = w * (dw - r)
         if t_valid < tp:
@@ -189,7 +284,7 @@ def _bwd_kernel(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Tp, D); note q already carries `scale`
         dv = jax.lax.dot_general(
-            w, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            w_used, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dq_ref[0, hh] = dq.astype(dq_ref.dtype)
         dk_ref[0, hh] = dk.astype(dk_ref.dtype)
@@ -208,7 +303,8 @@ def _bwd_kernel(
     del nb
 
 
-def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool):
+def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool,
+               rate: float = 0.0, seed=None):
     b, h, t, d = q.shape
     scale = 1.0 / np.sqrt(d)
     dp_ = _round_up(d, 128)
@@ -220,10 +316,13 @@ def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool):
     pf = jnp.pad(pos_bias, [(0, 0), (0, tp - t), (0, tp - t)]).astype(q.dtype)
     gf = jnp.pad(gate[..., None], [(0, 0), (0, 0), (0, tp - t), (0, 0)]).astype(jnp.float32)
 
+    seed_arr = jnp.reshape(
+        (seed if seed is not None else jnp.zeros((), jnp.int32)).astype(jnp.int32), (1, 1)
+    )
     grid = (h // hb, b)  # batch INNER so the dP block persists per head-group
     io = lambda i, j: (j, i, 0, 0)
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, t_valid=t, hb=hb, nb=b),
+        functools.partial(_bwd_kernel, scale=scale, t_valid=t, hb=hb, nb=b, rate=rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
@@ -232,6 +331,7 @@ def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool):
             pl.BlockSpec((hb, tp, tp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, tp, 1), io, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, hb, tp, dp_), io, memory_space=pltpu.VMEM),
@@ -248,7 +348,7 @@ def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool):
             jax.ShapeDtypeStruct((b, h, tp, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(qf, kf, vf, pf, gf, dof)
+    )(qf, kf, vf, pf, gf, dof, seed_arr)
     dq, dk, dv, dp, dg = out
     return (
         dq[:, :, :t, :d],
@@ -267,33 +367,58 @@ def _bwd_vmem_ok(h: int, t: int, d: int, itemsize: int) -> bool:
     return io + live <= 14 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def flash_attention_gated_bias_trainable(q, k, v, pos_bias, gate):
-    """Differentiable fused-bias attention (NO attention dropout — callers
-    must fall back to the XLA path when dropout is active)."""
-    return flash_attention_gated_bias(q, k, v, pos_bias, gate)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _trainable(rate, q, k, v, pos_bias, gate, seed_f):
+    seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
+    return flash_attention_gated_bias(
+        q, k, v, pos_bias, gate, dropout_rate=rate, seed=seed, _need_bwd=True
+    )
 
 
-def _trainable_fwd(q, k, v, pos_bias, gate):
-    return flash_attention_gated_bias(q, k, v, pos_bias, gate), (q, k, v, pos_bias, gate)
+def _trainable_fwd(rate, q, k, v, pos_bias, gate, seed_f):
+    out = _trainable(rate, q, k, v, pos_bias, gate, seed_f)
+    return out, (q, k, v, pos_bias, gate, seed_f)
 
 
-def _trainable_bwd(res, do):
-    q, k, v, pos_bias, gate = res
+def _trainable_bwd(rate, res, do):
+    q, k, v, pos_bias, gate, seed_f = res
     b, h, t, d = q.shape
+    seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
     interpret = jax.default_backend() != "tpu"
-    if not _bwd_vmem_ok(h, t, d, q.dtype.itemsize):
-        # long-T fallback: XLA vjp of the reference formulation
-        _, vjp = jax.vjp(xla_attention_gated_bias, q, k, v, pos_bias, gate)
-        return vjp(do)
-    return _flash_bwd(q, k, v, pos_bias, gate, do, interpret)
+    dp_ = _round_up(d, 128)
+    fwd_used_pallas = (
+        _forward_plan(h, t, dp_, q.dtype.itemsize, rate, need_bwd=True) is not None
+    )
+    if not fwd_used_pallas or not _bwd_vmem_ok(h, t, d, q.dtype.itemsize):
+        # must mirror the forward implementation exactly (same dropout mask)
+        _, vjp = jax.vjp(
+            lambda *a: xla_attention_gated_bias(*a, dropout_rate=rate, seed=seed),
+            q, k, v, pos_bias, gate,
+        )
+        return (*vjp(do), jnp.zeros_like(seed_f))
+    grads = _flash_bwd(q, k, v, pos_bias, gate, do, interpret, rate=rate, seed=seed)
+    return (*grads, jnp.zeros_like(seed_f))
 
 
-flash_attention_gated_bias_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+_trainable.defvjp(_trainable_fwd, _trainable_bwd)
 
 
-def xla_attention_gated_bias(q, k, v, pos_bias, gate):
-    """Reference XLA path (used for training and as kernel fallback/oracle)."""
+def flash_attention_gated_bias_trainable(
+    q, k, v, pos_bias, gate, dropout_rate: float = 0.0, seed=None
+):
+    """Differentiable fused-bias attention with optional in-kernel attention
+    dropout (deterministic from `seed`, an int32 scalar array)."""
+    if seed is None:
+        seed = jnp.zeros((), jnp.int32)
+    seed_f = jax.lax.bitcast_convert_type(seed.astype(jnp.int32), jnp.float32)
+    return _trainable(float(dropout_rate), q, k, v, pos_bias, gate, seed_f)
+
+
+def xla_attention_gated_bias(q, k, v, pos_bias, gate,
+                             dropout_rate: float = 0.0, seed=None):
+    """Reference XLA path (used for training and as kernel fallback/oracle).
+    Dropout (when requested) is deterministic from `seed` so a custom-vjp
+    backward can replay the identical forward."""
     d = q.shape[-1]
     scale = 1.0 / np.sqrt(d)
     bias = gate[..., None].astype(jnp.float32) * pos_bias[None].astype(jnp.float32)
@@ -303,4 +428,8 @@ def xla_attention_gated_bias(q, k, v, pos_bias, gate):
     logits = logits + bias
     logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     w = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and seed is not None:
+        key = jax.random.key(seed.astype(jnp.uint32))
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, w.shape)
+        w = jnp.where(keep, w / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhts,bhsd->bhtd", w.astype(q.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
