@@ -253,3 +253,31 @@ class SlidingWindowFeature:
 
     def __getitem__(self, i: int) -> np.ndarray:
         return self.data[i]
+
+    @property
+    def extent(self) -> Segment:
+        """Time span covered by the windows of the leading axis."""
+        sw = self.sliding_window
+        n = self.data.shape[0]
+        return Segment(sw.start, sw.start + (n - 1) * sw.step + sw.duration)
+
+    def crop(self, focus: Segment, mode: str = "loose") -> "SlidingWindowFeature":
+        """Leading-axis crop to the windows intersecting `focus`.
+
+        Loose-mode index math matches pyannote.core (windows *overlapping*
+        the focus are kept, so the result can extend past `focus`); the
+        stitching parity gate depends on this exact rounding
+        (pyannote SlidingWindow.crop / SlidingWindowFeature.crop).
+        """
+        assert mode == "loose"
+        sw = self.sliding_window
+        i = int(np.ceil((focus.start - sw.duration - sw.start) / sw.step))
+        j = int(np.floor((focus.end - sw.start) / sw.step))
+        n = self.data.shape[0]
+        data = self.data[max(i, 0) : min(j + 1, n)]
+        new_sw = SlidingWindow(
+            start=sw.start + max(i, 0) * sw.step,
+            duration=sw.duration,
+            step=sw.step,
+        )
+        return SlidingWindowFeature(data, new_sw)

@@ -85,16 +85,26 @@ def to_diarization(
             activations.data, ((0, 0), (0, max_speakers_per_frame - num_speakers))
         )
 
-    # align on the common frame extent
-    n = min(len(activations.data), len(count.data))
-    act = activations.data[:n]
+    # align on the common extent with loose-mode crops: the reference's crop
+    # keeps every frame window *overlapping* the extent, so the activation
+    # side can carry a couple of trailing frames past the count (they stay 0
+    # in the output; oracle-pinned in tests/test_ref_oracles.py)
+    extent = activations.extent & count.extent
+    activations = activations.crop(extent)
+    count = count.crop(extent)
+
+    act = activations.data
+    # zip(count, sorted) in the reference truncates to the shorter stream
+    n = min(len(count.data), len(act))
     cnt = count.data[:n, 0]
 
-    sorted_speakers = np.argsort(-act, axis=-1)
+    # vectorized top-count[t] selection (reference loops over frames,
+    # diarization.py:233-238): speaker ranked i at frame t is active iff
+    # i < count[t]
+    order = np.argsort(-act, axis=-1)
     binary = np.zeros_like(act)
-    for t in range(n):
-        for i in range(int(cnt[t])):
-            binary[t, sorted_speakers[t, i]] = 1.0
+    keep = (np.arange(act.shape[1])[None, :] < cnt[:, None]).astype(act.dtype)
+    np.put_along_axis(binary[:n], order[:n], keep, axis=1)
     return SlidingWindowFeature(binary, activations.sliding_window)
 
 
