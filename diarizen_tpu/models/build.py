@@ -152,21 +152,30 @@ def wavlm_conformer_mc(
     num_fusion_layers: int = 4,
     fusion_hidden: int = 256,
     fusion_heads: int = 8,
+    num_channels: int = 8,
     seed: int = 0,
     **kwargs,
 ):
     """Multi-channel WavLM+Conformer EEND
-    (reference models/eend/model_wavlm_conformer_mc.py)."""
-    from diarizen_tpu.models.mc import FusionConfig, init_eend_mc_params
+    (reference models/eend/model_wavlm_conformer_mc.py).
 
-    cfg, params, state = wavlm_conformer(wavlm_src=wavlm_src, seed=seed, **kwargs)
+    Returns (McEendConfig, params, state) — one config object the Trainer and
+    the MC recipe runner consume directly."""
+    import dataclasses
+
+    from diarizen_tpu.models.mc import FusionConfig, McEendConfig, init_fusions
+
+    cfg, params, state = wavlm_conformer(
+        wavlm_src=wavlm_src, num_channels=num_channels, seed=seed, **kwargs
+    )
     fcfg = FusionConfig(
         kind=fusion_kind, num_fusion_layers=num_fusion_layers,
         hidden=fusion_hidden, num_heads=fusion_heads,
     )
-    from diarizen_tpu.models.mc import init_fusions
-
+    # shallow field copy (asdict would recurse into the nested configs)
+    fields = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    mc_cfg = McEendConfig(**fields, fusion=fcfg, num_channels=num_channels)
     params["channel_fusions"] = init_fusions(
-        jax.random.PRNGKey(seed + 1), cfg.wavlm.embed_dim, fcfg
+        jax.random.PRNGKey(seed + 1), mc_cfg.wavlm.embed_dim, fcfg
     )
-    return (cfg, fcfg), params, state
+    return mc_cfg, params, state

@@ -59,6 +59,17 @@ class FusionConfig:
     init_mult: float = 1e-2
 
 
+@dataclasses.dataclass(frozen=True)
+class McEendConfig(EendConfig):
+    """EEND config + channel-fusion config: the single object the Trainer /
+    builders / recipes pass around for the MC model (the reference's MC Model
+    carries its fusion modules the same way,
+    model_wavlm_conformer_mc.py:26-88)."""
+
+    fusion: FusionConfig = FusionConfig()
+    num_channels: int = 8  # dataset channel padding target
+
+
 def init_cross_channel_attention(rng, n_units: int, fcfg: FusionConfig) -> Params:
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     norm = init_layer_norm(n_units)

@@ -88,6 +88,79 @@ def make_train_step(
     return train_step
 
 
+def make_mc_train_step(
+    cfg,  # McEendConfig
+    optimizer: optax.GradientTransformation,
+    compute_dtype=jnp.bfloat16,
+) -> Callable:
+    """Multi-channel train step: train_step(state, batch, rng, num_channels).
+
+    `num_channels` is STATIC under jit — the caller draws k in [1, C] on the
+    host each step (reference model_wavlm_conformer_mc.py:262-265 does the
+    random channel truncation per batch); at most C compiled variants exist.
+    batch: {"xs": (B, C, T) multi-channel waveforms, "target": (B, F, K)}.
+    """
+    from diarizen_tpu.models.mc import eend_mc_forward
+
+    powerset = cfg.powerset
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array, num_channels: int):
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            scores, _att, new_ms = eend_mc_forward(
+                params, state.model_state, cfg, cfg.fusion,
+                batch["xs"][:, :num_channels],
+                train=True, rng=step_rng, compute_dtype=compute_dtype,
+            )
+            return segmentation_loss(powerset, scores, batch["target"]), new_ms
+
+        (loss, new_model_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        good = jnp.isfinite(loss)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(good, g, jnp.zeros_like(g)), grads
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(good, a, b), new, old
+        )
+        new_state = TrainState(
+            params=keep(new_params, state.params),
+            model_state=keep(new_model_state, state.model_state),
+            opt_state=keep(new_opt_state, state.opt_state),
+            step=state.step + 1,
+        )
+        metrics = {"loss": loss, "grad_norm": grad_norm, "skipped": ~good}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_mc_eval_step(cfg, compute_dtype=jnp.bfloat16) -> Callable:
+    """MC eval step (all channels, no truncation)."""
+    from diarizen_tpu.models.mc import eend_mc_forward
+
+    powerset = cfg.powerset
+
+    def eval_step(state: TrainState, batch: Dict):
+        scores, _att, _ = eend_mc_forward(
+            state.params, state.model_state, cfg, cfg.fusion, batch["xs"],
+            train=False, compute_dtype=compute_dtype,
+        )
+        loss = segmentation_loss(powerset, scores, batch["target"])
+        m = der_metrics(powerset, scores, batch["target"])
+        m["loss_sum"] = loss * batch["xs"].shape[0]
+        m["num_chunks"] = jnp.asarray(batch["xs"].shape[0], jnp.float32)
+        return m
+
+    return eval_step
+
+
 def make_eval_step(cfg: EendConfig, compute_dtype=jnp.bfloat16) -> Callable:
     """Returns eval_step(state, batch) -> metrics with loss + DER components
     (summed over the batch; accumulate across batches then divide)."""

@@ -70,21 +70,34 @@ class Trainer:
         params,
         model_state,
         mesh=None,
+        train_step_fn=None,
+        eval_step_fn=None,
+        channel_sampler=None,
     ):
+        """`train_step_fn`/`eval_step_fn` override the default single-channel
+        steps (e.g. the MC steps from train/step.py). When `channel_sampler`
+        is given (callable -> int), the train step takes a 4th STATIC
+        `num_channels` argument drawn per step — the reference MC model's
+        random channel truncation (model_wavlm_conformer_mc.py:262-265)."""
         self.cfg = cfg
         self.tc = trainer_cfg
         self.optimizer = optimizer
         self.mesh = mesh
+        self.channel_sampler = channel_sampler
         self.exp_dir = Path(trainer_cfg.exp_dir)
         self.ckpt_root = self.exp_dir / "checkpoints"
         self.exp_dir.mkdir(parents=True, exist_ok=True)
 
         compute_dtype = jnp.bfloat16 if trainer_cfg.compute_dtype == "bfloat16" else jnp.float32
+        if train_step_fn is None:
+            train_step_fn = make_train_step(cfg, optimizer, compute_dtype=compute_dtype)
+        if eval_step_fn is None:
+            eval_step_fn = make_eval_step(cfg, compute_dtype=compute_dtype)
+        static = (3,) if channel_sampler is not None else ()
         self._train_step = jax.jit(
-            make_train_step(cfg, optimizer, compute_dtype=compute_dtype),
-            donate_argnums=(0,),
+            train_step_fn, donate_argnums=(0,), static_argnums=static
         )
-        self._eval_step = jax.jit(make_eval_step(cfg, compute_dtype=compute_dtype))
+        self._eval_step = jax.jit(eval_step_fn)
 
         self.state = create_train_state(params, model_state, optimizer)
         self.start_epoch = 0
@@ -150,7 +163,11 @@ class Trainer:
         n = 0
         for i, batch in enumerate(loader):
             sharded = self._shard_batch(batch)
-            self.state, metrics = self._train_step(self.state, sharded, rng)
+            if self.channel_sampler is not None:
+                k = int(self.channel_sampler())
+                self.state, metrics = self._train_step(self.state, sharded, rng, k)
+            else:
+                self.state, metrics = self._train_step(self.state, sharded, rng)
             n += 1
             if (i + 1) % self.tc.log_every == 0:
                 loss = float(metrics["loss"])

@@ -60,9 +60,10 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     init_logging(out_dir, filename="infer.log")
 
-    (cfg, fcfg), params, state = instantiate(
+    cfg, params, state = instantiate(
         config["model"]["path"], config["model"].get("args", {})
     )
+    fcfg = cfg.fusion
     metrics = load_metrics(Path(args.exp_dir))
     ckpts = select_checkpoints(
         metrics, Path(args.exp_dir) / "checkpoints", num=args.avg_ckpt_num,
