@@ -100,7 +100,10 @@ class McSlidingInference:
         wave[:, :num_samples] = waveform
         return jax.device_put(wave), starts
 
-    def __call__(self, waveform: np.ndarray, sample_rate: Optional[int] = None):
+    def __call__(
+        self, waveform: np.ndarray, sample_rate: Optional[int] = None,
+        hook: Optional[Callable] = None,
+    ):
         sample_rate = sample_rate or self.sample_rate
         assert sample_rate == self.sample_rate
         wave_device, starts = self.prepare_wave(waveform)
@@ -114,6 +117,8 @@ class McSlidingInference:
                 sb = np.pad(sb, (0, self.batch_size - n_real))
             out, att = self._fwd(wave_device, jnp.asarray(sb, jnp.int32))
             pending.append((out, att, n_real))
+            if hook is not None:
+                hook("segmentation", None, total=total, completed=b0 + n_real)
         seg = np.vstack([np.asarray(o[:n], dtype=np.float32) for o, _, n in pending])
         att = np.vstack([np.asarray(a[:n], dtype=np.float32) for _, a, n in pending])
 
@@ -141,21 +146,28 @@ class McDiarizationPipeline:
         sample_rate: int = 16000,
         uri: Optional[str] = None,
         num_speakers: Optional[int] = None,
+        hook: Optional[Callable] = None,
     ) -> Annotation:
-        segmentations, att = self.seg_inference(waveform, sample_rate)
+        segmentations, att = self.seg_inference(waveform, sample_rate, hook=hook)
         if self.apply_median_filtering:
             segmentations.data = median_filter(
                 segmentations.data, size=(1, 11, 1), mode="reflect"
             )
         binarized = segmentations
+        if hook is not None:
+            hook("segmentation", binarized)
 
         frames = receptive_field_window(self.eend_cfg)
         count = speaker_count(binarized, frames, warm_up=(0.0, 0.0))
+        if hook is not None:
+            hook("speaker_counting", count)
         ann = Annotation(uri=uri)
         if count.data.size == 0 or np.nanmax(count.data) == 0:
             return ann
 
         embeddings = self.get_embeddings(waveform, binarized, att)
+        if hook is not None:
+            hook("embeddings", embeddings)
 
         min_clusters = num_speakers or self.min_speakers
         max_clusters = num_speakers or self.max_speakers
@@ -163,10 +175,14 @@ class McDiarizationPipeline:
             embeddings, binarized.data,
             min_clusters=min_clusters, max_clusters=max_clusters,
         )
+        if hook is not None:
+            hook("clustering", hard_clusters)
         count.data = np.minimum(count.data, max_clusters).astype(np.int8)
         inactive = np.sum(binarized.data, axis=1) == 0
         hard_clusters[inactive] = -2
         discrete = reconstruct(segmentations, hard_clusters, count)
+        if hook is not None:
+            hook("discrete_diarization", discrete)
         result = Binarize(onset=0.5, offset=0.5)(discrete)
         result.uri = uri
         return result.rename_labels(

@@ -117,15 +117,21 @@ def reconstruct(
     max over same-cluster locals (speaker_diarization.py:377-425)."""
     num_chunks, num_frames, _ = segmentations.data.shape
     num_clusters = int(np.max(hard_clusters)) + 1
-    clustered = np.full((num_chunks, num_frames, num_clusters), np.nan)
-    for c in range(num_chunks):
-        cluster = hard_clusters[c]
-        for k in np.unique(cluster):
-            if k == -2:
-                continue
-            clustered[c, :, k] = np.max(
-                segmentations.data[c][:, cluster == k], axis=1
-            )
+    # vectorized over chunks (the reference double-loops chunks x clusters,
+    # speaker_diarization.py:404-414 — quadratic host time on multi-hour files)
+    clustered = np.full(
+        (num_chunks, num_frames, num_clusters), np.nan, dtype=np.float32
+    )
+    data = segmentations.data
+    for k in range(num_clusters):
+        member = hard_clusters == k  # (chunks, S)
+        has = member.any(axis=1)
+        if not has.any():
+            continue
+        vals = np.max(
+            np.where(member[:, None, :], data, -np.inf), axis=2
+        )  # (chunks, frames)
+        clustered[has, :, k] = vals[has]
     return to_diarization(
         SlidingWindowFeature(clustered, segmentations.sliding_window), count
     )
@@ -186,7 +192,8 @@ class EmbeddingInference:
         return FRAME_LENGTH
 
     def __call__(
-        self, wave_device, starts: np.ndarray, weights: np.ndarray
+        self, wave_device, starts: np.ndarray, weights: np.ndarray,
+        hook: Optional[Callable] = None,
     ) -> np.ndarray:
         """Device waveform + (N,) window starts + (N, S, F) weights -> (N, S, D)."""
         n = len(starts)
@@ -200,6 +207,8 @@ class EmbeddingInference:
                 wb = np.pad(wb, ((0, self.batch_size - n_real), (0, 0), (0, 0)))
             out = self._fwd(wave_device, jnp.asarray(sb, jnp.int32), jnp.asarray(wb))
             pending.append((out, n_real))
+            if hook is not None:
+                hook("embeddings", None, total=n, completed=b0 + n_real)
         outs = [np.asarray(o[:nr], dtype=np.float64) for o, nr in pending]
         return np.concatenate(outs) if outs else np.zeros((0, self.num_speakers, 256))
 
@@ -224,26 +233,40 @@ class DiarizationPipeline:
         sample_rate: int = 16000,
         uri: Optional[str] = None,
         num_speakers: Optional[int] = None,
+        hook: Optional[Callable] = None,
     ) -> Annotation:
+        """`hook(step_name, artifact, total=, completed=)` is invoked after
+        every stage (and per batch inside segmentation/embedding), matching
+        the reference protocol (pipelines/utils/hook.py:36-224,
+        speaker_diarization.py:427-636). See `hooks.ProgressHook` /
+        `TimingHook` / `ArtifactHook`."""
         if waveform.ndim == 1:
             waveform = waveform[None]
         waveform = waveform[0:1]  # force SDM channel 0 (inference.py:127-128)
 
-        segmentations = self.seg_inference(waveform, sample_rate, soft=False)
+        segmentations = self.seg_inference(
+            waveform, sample_rate, soft=False, hook=hook
+        )
         if self.apply_median_filtering:
             segmentations.data = median_filter(
                 segmentations.data, size=(1, 11, 1), mode="reflect"
             )
         binarized = segmentations  # powerset output is already binary
+        if hook is not None:
+            hook("segmentation", binarized)
 
         frames = receptive_field_window(self.eend_cfg)
         count = speaker_count(binarized, frames, warm_up=(0.0, 0.0))
+        if hook is not None:
+            hook("speaker_counting", count)
 
         ann = Annotation(uri=uri)
         if count.data.size == 0 or np.nanmax(count.data) == 0:
             return ann  # no speech at all (speaker_diarization.py:503-509)
 
-        embeddings = self.get_embeddings(waveform[0], binarized)
+        embeddings = self.get_embeddings(waveform[0], binarized, hook=hook)
+        if hook is not None:
+            hook("embeddings", embeddings)
 
         min_clusters = num_speakers or self.min_speakers
         max_clusters = num_speakers or self.max_speakers
@@ -251,12 +274,16 @@ class DiarizationPipeline:
             embeddings, binarized.data,
             min_clusters=min_clusters, max_clusters=max_clusters,
         )
+        if hook is not None:
+            hook("clustering", hard_clusters)
 
         count.data = np.minimum(count.data, max_clusters).astype(np.int8)
         inactive = np.sum(binarized.data, axis=1) == 0
         hard_clusters[inactive] = -2
 
         discrete = reconstruct(segmentations, hard_clusters, count)
+        if hook is not None:
+            hook("discrete_diarization", discrete)
         to_annotation = Binarize(
             onset=0.5, offset=0.5, min_duration_on=0.0, min_duration_off=0.0
         )
@@ -268,7 +295,8 @@ class DiarizationPipeline:
         return result
 
     def get_embeddings(
-        self, waveform: np.ndarray, binarized: SlidingWindowFeature
+        self, waveform: np.ndarray, binarized: SlidingWindowFeature,
+        hook: Optional[Callable] = None,
     ) -> np.ndarray:
         """(num_chunks, S, D) embeddings with exclude-overlap mask fallback
         (speaker_diarization.py:228-360, vectorized per chunk)."""
@@ -291,4 +319,4 @@ class DiarizationPipeline:
         starts = starts[:num_chunks]
 
         weights = np.transpose(weights, (0, 2, 1))  # (chunks, S, frames)
-        return self.emb_inference(wave_device, starts, weights)
+        return self.emb_inference(wave_device, starts, weights, hook=hook)

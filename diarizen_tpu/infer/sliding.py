@@ -144,7 +144,11 @@ class SlidingInference:
         waveform: np.ndarray,
         sample_rate: Optional[int] = None,
         soft: bool = False,
+        hook: Optional[Callable] = None,
     ) -> SlidingWindowFeature:
+        """`hook(step_name, artifact, total=, completed=)` is invoked per batch
+        (the reference engine's progress protocol, core/inference.py:85-90 +
+        pipelines/utils/hook.py)."""
         sample_rate = sample_rate or self.sample_rate
         assert sample_rate == self.sample_rate, "resample before inference"
         wave_device, starts = self.prepare_wave(waveform)
@@ -160,6 +164,8 @@ class SlidingInference:
                 batch_starts = np.pad(batch_starts, (0, self.batch_size - n_real))
             out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
             pending.append((out, n_real))
+            if hook is not None:
+                hook("segmentation", None, total=total, completed=b0 + n_real)
         outputs = [np.asarray(out[:n_real], dtype=np.float32) for out, n_real in pending]
 
         if outputs:

@@ -179,7 +179,23 @@ def test_full_pipeline_runs_on_example_wav(tmp_path):
         max_speakers=4,
     )
     wave, sr = read_wav(EXAMPLE_WAV)
-    ann = pipeline(wave[:, : 16000 * 8], sr, uri="EN2002a_test")
+    from diarizen_tpu.hooks import ArtifactHook, Hooks, TimingHook
+
+    timing, artifacts = TimingHook(), ArtifactHook()
+    ann = pipeline(
+        wave[:, : 16000 * 8], sr, uri="EN2002a_test",
+        hook=Hooks(timing, artifacts),
+    )
+    timing.finish()
+    # every pipeline stage must have fired the hook (reference protocol,
+    # pipelines/utils/hook.py) with its artifact and been timed
+    expected_stages = {
+        "segmentation", "speaker_counting", "embeddings", "clustering",
+        "discrete_diarization",
+    }
+    assert expected_stages <= set(artifacts.artifacts)
+    assert expected_stages <= set(timing.timings)
+    assert all(t >= 0 for t in timing.timings.values())
     rttm = ann.to_rttm()
     for line in rttm.splitlines():
         parts = line.split()
