@@ -1,63 +1,47 @@
 """Benchmark driver: audio-seconds/s/chip for the full diarization pipeline.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
-Measures the COMPLETE pipeline (sliding-window WavLM-Base segmentation with
-90% window overlap, median filter, speaker counting, masked ResNet34
-embeddings, AHC clustering, reconstruction, RTTM) on a synthetic 120 s
-multi-speaker file — the reference's headline configuration
-(seg_duration 8 s, step 0.8 s, batch 32; BASELINE.json north-star metric).
+Measures the COMPLETE pipeline (sliding-window segmentation with 90% window
+overlap, median filter, speaker counting, masked ResNet34 embeddings, AHC
+clustering, reconstruction, RTTM) on a synthetic 120 s multi-speaker file —
+the reference's headline configuration (seg_duration 8 s, step 0.8 s,
+batch 32; BASELINE.json north-star metric).
+
+The headline value is the FLAGSHIP released config, DiariZen-Base-s80
+(`WavLMConfig.base_s80_md` — BASELINE.md "Released pipelines" row 2); the
+JSON also carries per-config results with a per-stage breakdown
+(segmentation / counting / embedding / clustering / reconstruction, via the
+pipeline hook protocol) for `large_s80_md` and unpruned `base`. Random
+weights at the released architecture — identical compute, no released
+checkpoints in this zero-egress environment.
 
 The reference publishes no hardware throughput numbers (BASELINE.md), so
 vs_baseline anchors to a nominal 40x realtime full-pipeline rate for the
 reference stack on one GPU: vs_baseline = value / 40.0.
 
-Stage breakdown goes to stderr; the JSON line is the last stdout line.
+BENCH_CONFIGS env var overrides the config list (comma-separated names from
+CONFIGS below). Stage breakdown and progress go to stderr; the JSON line is
+the last stdout line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+CONFIGS = ["base_s80_md", "large_s80_md", "base"]
+FLAGSHIP = "base_s80_md"
 
-def main():
-    import jax
 
-    from diarizen_tpu.cluster import AgglomerativeClustering
-    from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
-    from diarizen_tpu.models.conformer import ConformerConfig
-    from diarizen_tpu.models.eend import EendConfig, init_eend_params
-    from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
-    from diarizen_tpu.models.wavlm import WavLMConfig
-
-    cfg = EendConfig(wavlm=WavLMConfig.base(), conformer=ConformerConfig())
-    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
-    seg_inf = SlidingInference(params, state, cfg, batch_size=32)
-
-    rcfg = ResNetConfig()
-    rparams = jax.jit(lambda k: init_resnet_params(k, rcfg))(jax.random.PRNGKey(1))
-    emb_inf = EmbeddingInference(
-        rparams, rcfg, window_size=seg_inf.window_size,
-        num_speakers=cfg.max_speakers_per_chunk, batch_size=32,
-    )
-    pipeline = DiarizationPipeline(
-        seg_inference=seg_inf,
-        emb_inference=emb_inf,
-        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=30),
-        eend_cfg=cfg,
-        max_speakers=8,
-    )
-
-    # synthetic 2-speaker meeting, 120 s
-    dur_s = 120
-    sr = 16000
+def make_wave(dur_s=120, sr=16000):
+    """Synthetic 2-speaker meeting."""
     t = np.arange(dur_s * sr) / sr
     wave = np.zeros_like(t, dtype=np.float32)
     rng = np.random.default_rng(0)
-    pos = 0.0
-    spk = 0
+    pos, spk = 0.0, 0
     while pos < dur_s - 2:
         seg = rng.uniform(2.0, 6.0)
         m = (t >= pos) & (t < pos + seg)
@@ -66,30 +50,107 @@ def main():
         wave[m] += 0.01 * rng.standard_normal(int(m.sum())).astype(np.float32)
         pos += seg * rng.uniform(0.6, 1.0)
         spk = 1 - spk
+    return wave[None]
 
-    waveform = wave[None]
 
-    # warmup (compiles both engines)
+def build_pipeline(name, rparams, rcfg):
+    import jax
+    import jax.numpy as jnp
+
+    from diarizen_tpu.cluster import AgglomerativeClustering
+    from diarizen_tpu.infer import (
+        DiarizationPipeline,
+        EmbeddingInference,
+        SlidingInference,
+    )
+    from diarizen_tpu.models.conformer import ConformerConfig
+    from diarizen_tpu.models.eend import EendConfig, init_eend_params
+    from diarizen_tpu.models.wavlm import WavLMConfig
+
+    wavlm = getattr(WavLMConfig, name)()
+    cfg = EendConfig(
+        wavlm=wavlm,
+        conformer=ConformerConfig(),
+        wavlm_feat_dim=wavlm.embed_dim,
+        wavlm_layer_num=wavlm.num_layers + 1,
+    )
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    seg_inf = SlidingInference(params, state, cfg, batch_size=32)
+    emb_inf = EmbeddingInference(
+        rparams, rcfg, window_size=seg_inf.window_size,
+        num_speakers=cfg.max_speakers_per_chunk, batch_size=32,
+        compute_dtype=jnp.bfloat16,
+    )
+    return DiarizationPipeline(
+        seg_inference=seg_inf,
+        emb_inference=emb_inf,
+        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=30),
+        eend_cfg=cfg,
+        max_speakers=8,
+    )
+
+
+def bench_config(name, waveform, sr, dur_s, rparams, rcfg, repeats=3):
+    from diarizen_tpu.hooks import TimingHook
+
+    pipeline = build_pipeline(name, rparams, rcfg)
+
     t0 = time.perf_counter()
     pipeline(waveform, sr, uri="warmup")
-    print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"[{name}] warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    times = []
-    for _ in range(3):
+    best_dt, best_stages = None, None
+    for _ in range(repeats):
+        hook = TimingHook()
         t0 = time.perf_counter()
-        ann = pipeline(waveform, sr, uri="bench")
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    value = dur_s / dt
-    print(f"pipeline: {dt:.2f}s for {dur_s}s audio; labels={ann.labels()}", file=sys.stderr)
+        ann = pipeline(waveform, sr, uri="bench", hook=hook)
+        dt = time.perf_counter() - t0
+        hook.finish()
+        if best_dt is None or dt < best_dt:
+            best_dt, best_stages = dt, dict(hook.timings)
+    stages = {
+        k: {"seconds": round(v, 3), "audio_s_per_s": round(dur_s / v, 1) if v > 1e-9 else None}
+        for k, v in best_stages.items()
+    }
+    value = dur_s / best_dt
+    print(
+        f"[{name}] pipeline: {best_dt:.2f}s for {dur_s}s audio"
+        f" = {value:.0f} audio-s/s; labels={ann.labels()}",
+        file=sys.stderr,
+    )
+    for k, v in stages.items():
+        print(f"[{name}]   {k}: {v['seconds']}s", file=sys.stderr)
+    return {"audio_s_per_s": round(value, 1), "seconds": round(best_dt, 3), "stages": stages}
 
+
+def main():
+    import jax
+
+    from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
+
+    dur_s, sr = 120, 16000
+    waveform = make_wave(dur_s, sr)
+    rcfg = ResNetConfig()
+    rparams = jax.jit(lambda k: init_resnet_params(k, rcfg))(jax.random.PRNGKey(1))
+
+    names = [c for c in os.environ.get("BENCH_CONFIGS", ",".join(CONFIGS)).split(",") if c]
+    results = {}
+    for name in names:
+        results[name] = bench_config(name, waveform, sr, dur_s, rparams, rcfg)
+
+    flagship = FLAGSHIP if FLAGSHIP in results else names[0]
+    value = results[flagship]["audio_s_per_s"]
     print(
         json.dumps(
             {
-                "metric": "full-pipeline audio-seconds/s/chip (WavLM-Base seg 8s/0.8s + ResNet34 emb + AHC, 120s file)",
-                "value": round(value, 1),
+                "metric": (
+                    f"full-pipeline audio-seconds/s/chip, flagship {flagship} "
+                    "(WavLM seg 8s/0.8s batch32 + ResNet34 bf16 emb + AHC, 120s file)"
+                ),
+                "value": value,
                 "unit": "audio-seconds/s",
                 "vs_baseline": round(value / 40.0, 2),
+                "configs": results,
             }
         )
     )

@@ -96,6 +96,38 @@ def read_wav(
     return np.ascontiguousarray(x), sample_rate
 
 
+def read_audio(
+    path: str | Path,
+    start_frame: int = 0,
+    num_frames: Optional[int] = None,
+) -> Tuple[np.ndarray, int]:
+    """Read any audio file into float32 (channels, samples).
+
+    WAV decodes natively (read_wav). Other formats (flac/mp3/ogg — the
+    reference `Audio` handles these through torchaudio, core/io.py:436) fall
+    back to `soundfile` when installed; this image ships without it, so
+    non-WAV raises an actionable error. AMI/DIHARD/VoxConverse distributions
+    are WAV, so the native path covers the benchmark corpora.
+    """
+    p = Path(path)
+    if p.suffix.lower() in (".wav", ".wave"):
+        return read_wav(p, start_frame=start_frame, num_frames=num_frames)
+    try:
+        import soundfile  # optional — not in the base image
+    except ImportError:
+        raise ValueError(
+            f"{p}: only WAV is decoded natively; install `soundfile` for "
+            f"{p.suffix} support, or convert to WAV "
+            "(ffmpeg -i in{0} out.wav)".format(p.suffix)
+        ) from None
+    data, sr = soundfile.read(
+        str(p), start=start_frame,
+        frames=-1 if num_frames is None else num_frames,
+        dtype="float32", always_2d=True,
+    )
+    return np.ascontiguousarray(data.T), sr
+
+
 def get_wav_info(path: str | Path) -> Tuple[int, int, int]:
     """(num_samples, sample_rate, num_channels) without reading the payload."""
     with wave.open(str(path), "rb") as w:
@@ -142,7 +174,7 @@ class Audio:
         return waveform.astype(np.float32)
 
     def __call__(self, path: str | Path) -> Tuple[np.ndarray, int]:
-        waveform, sr = read_wav(path)
+        waveform, sr = read_audio(path)
         return self._post(waveform, sr), self.sample_rate
 
     def get_duration(self, path: str | Path) -> float:

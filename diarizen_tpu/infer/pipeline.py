@@ -152,11 +152,16 @@ class EmbeddingInference:
         num_speakers: int,
         batch_size: int = 16,
         mesh=None,
+        compute_dtype=None,
     ):
+        """`compute_dtype=jnp.bfloat16` runs the ResNet trunk in bf16 (MXU
+        rate doubles; stats pool stays f32). Default None = f32 for exact
+        torch-oracle parity."""
         self.cfg = cfg
         self.window_size = window_size
         self.batch_size = batch_size
         self.num_speakers = num_speakers
+        self.mesh = mesh
 
         # params as jit args, not closure constants (see sliding.py note)
         self._params = jax.device_put(params)
@@ -167,7 +172,9 @@ class EmbeddingInference:
             chunks = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(wave_device, (s,), (window_size,))
             )(starts)  # (B, window)
-            return embed_waveforms(params, cfg, chunks, weights)
+            return embed_waveforms(
+                params, cfg, chunks, weights, compute_dtype=compute_dtype
+            )
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -196,6 +203,24 @@ class EmbeddingInference:
         hook: Optional[Callable] = None,
     ) -> np.ndarray:
         """Device waveform + (N,) window starts + (N, S, F) weights -> (N, S, D)."""
+        from diarizen_tpu.utils import halve_batch_or_raise
+
+        while True:
+            try:
+                outs = self._infer_batches(wave_device, starts, weights, hook)
+                break
+            except Exception as e:  # noqa: BLE001 — filtered by the helper
+                self.batch_size = halve_batch_or_raise(
+                    e, self.batch_size, "embedding inference"
+                )
+                if self.mesh is not None:
+                    assert self.batch_size % self.mesh.shape["data"] == 0, (
+                        "OOM backoff broke data-axis divisibility; shrink the "
+                        "mesh or start from a smaller batch_size"
+                    )
+        return np.concatenate(outs) if outs else np.zeros((0, self.num_speakers, 256))
+
+    def _infer_batches(self, wave_device, starts, weights, hook):
         n = len(starts)
         pending = []
         for b0 in range(0, n, self.batch_size):
@@ -209,8 +234,7 @@ class EmbeddingInference:
             pending.append((out, n_real))
             if hook is not None:
                 hook("embeddings", None, total=n, completed=b0 + n_real)
-        outs = [np.asarray(o[:nr], dtype=np.float64) for o, nr in pending]
-        return np.concatenate(outs) if outs else np.zeros((0, self.num_speakers, 256))
+        return [np.asarray(o[:nr], dtype=np.float64) for o, nr in pending]
 
 
 @dataclass
@@ -274,6 +298,12 @@ class DiarizationPipeline:
             embeddings, binarized.data,
             min_clusters=min_clusters, max_clusters=max_clusters,
         )
+        # multi-host: every process clustered the same gathered embeddings;
+        # pin host 0's assignment so ties can never diverge across hosts
+        # (no-op single-process; SURVEY section 2.5 scale-out flow)
+        from diarizen_tpu.parallel.distributed import broadcast_from_host
+
+        hard_clusters = broadcast_from_host(hard_clusters)
         if hook is not None:
             hook("clustering", hard_clusters)
 
@@ -319,4 +349,18 @@ class DiarizationPipeline:
         starts = starts[:num_chunks]
 
         weights = np.transpose(weights, (0, 2, 1))  # (chunks, S, frames)
-        return self.emb_inference(wave_device, starts, weights, hook=hook)
+
+        # multi-host fan-out: each process embeds a strided shard of the
+        # windows, then the shards are all-gathered back to every host for
+        # global clustering (single-process: shard == everything, gather is
+        # a copy). SURVEY section 2.5 north-star scale-out.
+        from diarizen_tpu.parallel.distributed import (
+            gather_window_shards,
+            process_window_shard,
+        )
+
+        shard = process_window_shard(num_chunks)
+        local = self.emb_inference(
+            wave_device, starts[shard], weights[shard], hook=hook
+        )
+        return gather_window_shards(local, num_chunks)

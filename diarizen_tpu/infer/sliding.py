@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from diarizen_tpu.core.segments import SlidingWindow, SlidingWindowFeature
-from diarizen_tpu.models.eend import EendConfig, eend_forward
+from diarizen_tpu.models.eend import EendConfig
+from diarizen_tpu.models.forward import segmentation_forward
 from diarizen_tpu.ops.powerset import Powerset
 
 
@@ -69,6 +70,7 @@ class SlidingInference:
         # constants (breaks remote compilation and bloats the executable)
         self._params = jax.device_put(params)
         self._state = jax.device_put(state)
+        model_fwd = segmentation_forward(cfg)
 
         def fwd(params, state, wave_device, starts, soft: bool):
             # wave_device: (num_samples_padded,) on device; starts: (B,) int32.
@@ -77,7 +79,7 @@ class SlidingInference:
             chunks = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(wave_device, (s,), (self.window_size,))
             )(starts)  # (B, window)
-            scores, _ = eend_forward(
+            scores, _ = model_fwd(
                 params, state, cfg, chunks, train=False, compute_dtype=compute_dtype
             )  # (B, F, P) log-probs
             if soft:
@@ -110,6 +112,22 @@ class SlidingInference:
         self._fwd = lambda wave, starts, soft: jitted(
             self._params, self._state, wave, starts, soft
         )
+
+    def _infer_batches(self, wave_device, starts, soft: bool, hook):
+        # enqueue all batches first (async dispatch overlaps compute with the
+        # host<->device transfers), then collect
+        total = len(starts)
+        pending = []
+        for b0 in range(0, total, self.batch_size):
+            batch_starts = starts[b0 : b0 + self.batch_size]
+            n_real = len(batch_starts)
+            if n_real < self.batch_size:  # pad to the compiled batch shape
+                batch_starts = np.pad(batch_starts, (0, self.batch_size - n_real))
+            out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
+            pending.append((out, n_real))
+            if hook is not None:
+                hook("segmentation", None, total=total, completed=b0 + n_real)
+        return [np.asarray(out[:n_real], dtype=np.float32) for out, n_real in pending]
 
     def num_chunks(self, num_samples: int) -> Tuple[int, bool]:
         if num_samples >= self.window_size:
@@ -152,21 +170,24 @@ class SlidingInference:
         sample_rate = sample_rate or self.sample_rate
         assert sample_rate == self.sample_rate, "resample before inference"
         wave_device, starts = self.prepare_wave(waveform)
-        total = len(starts)
 
-        # enqueue all batches first (async dispatch overlaps compute with the
-        # host<->device transfers), then collect
-        pending = []
-        for b0 in range(0, total, self.batch_size):
-            batch_starts = starts[b0 : b0 + self.batch_size]
-            n_real = len(batch_starts)
-            if n_real < self.batch_size:  # pad to the compiled batch shape
-                batch_starts = np.pad(batch_starts, (0, self.batch_size - n_real))
-            out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
-            pending.append((out, n_real))
-            if hook is not None:
-                hook("segmentation", None, total=total, completed=b0 + n_real)
-        outputs = [np.asarray(out[:n_real], dtype=np.float32) for out, n_real in pending]
+        # device OOM -> halve the batch and re-run (jit re-specializes on the
+        # new batch shape); reference equivalent: core/inference.py:216-223
+        from diarizen_tpu.utils import halve_batch_or_raise
+
+        while True:
+            try:
+                outputs = self._infer_batches(wave_device, starts, soft, hook)
+                break
+            except Exception as e:  # noqa: BLE001 — filtered by the helper
+                self.batch_size = halve_batch_or_raise(
+                    e, self.batch_size, "segmentation inference"
+                )
+                if self.mesh is not None:
+                    assert self.batch_size % self.mesh.shape["data"] == 0, (
+                        "OOM backoff broke data-axis divisibility; shrink the "
+                        "mesh or start from a smaller batch_size"
+                    )
 
         if outputs:
             data = np.vstack(outputs)
@@ -210,14 +231,29 @@ class SlidingInference:
         return agg
 
 
-def receptive_field_window(cfg: EendConfig) -> SlidingWindow:
+def receptive_field_window(cfg) -> SlidingWindow:
     """Model output frame resolution as a SlidingWindow (the reference's
-    `model._receptive_field`, core/model.py:180-195)."""
+    `model._receptive_field`, core/model.py:180-195) — any segmentation
+    family (conv-stack center for WavLM/SincNet, centered STFT for fbank)."""
     step, duration = cfg.rf_info()
-    kernels = [k for _, k, _ in cfg.wavlm.conv_layers]
-    strides = [s for _, _, s in cfg.wavlm.conv_layers]
     from diarizen_tpu.ops.receptive_field import multi_conv_receptive_field_center
 
-    center0 = multi_conv_receptive_field_center(0, kernels, strides)
+    if hasattr(cfg, "wavlm"):
+        kernels = [k for _, k, _ in cfg.wavlm.conv_layers]
+        strides = [s for _, _, s in cfg.wavlm.conv_layers]
+        center0 = multi_conv_receptive_field_center(0, kernels, strides)
+    else:
+        from diarizen_tpu.models.sincnet_eend import (
+            SINCNET_KERNELS,
+            SINCNET_STRIDES,
+            SincNetEendConfig,
+        )
+
+        if isinstance(cfg, SincNetEendConfig):
+            center0 = multi_conv_receptive_field_center(
+                0, SINCNET_KERNELS, SINCNET_STRIDES
+            )
+        else:  # fbank: frame 0 is centered at t=0 (center=True framing)
+            center0 = 0
     start = center0 / cfg.sample_rate - duration / 2
     return SlidingWindow(start=start, duration=duration, step=step)

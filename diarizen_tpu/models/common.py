@@ -110,19 +110,58 @@ def conv1d(
     groups: int = 1,
     compute_dtype=None,
 ) -> jnp.ndarray:
-    """1-D convolution on (B, T, C) channel-last input, weight (K, Cin//g, Cout)."""
+    """1-D convolution on (B, T, C) channel-last input, weight (K, Cin//g, Cout).
+
+    groups > 1 is NOT lowered through `feature_group_count`: XLA's SPMD
+    partitioner (jax 0.9.0) miscompiles the weight gradient of grouped convs
+    on a 2-D mesh — when the input is batch-sharded and the weight replicated,
+    grad_w comes back multiplied by the size of the OTHER mesh axis (minimal
+    repro pinned in tests/test_tp_parity.py::test_grouped_conv_grad_spmd).
+    Instead:
+      * depthwise (groups == Cin == Cout): K shifted scale-adds — pure VPU
+        elementwise work, which is also how depthwise convs map best to TPU
+        (1 input channel per group leaves the MXU idle anyway);
+      * general grouped: `groups` per-group dense convs (identical FLOPs,
+        dense-conv SPMD rules are correct).
+    """
     dtype = compute_dtype or x.dtype
     # no preferred_element_type here: its conv transpose (backward) rule
     # rejects the resulting f32-cotangent x low-precision-kernel mix; the TPU
     # conv unit accumulates in f32 internally regardless of output dtype.
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype),
-        p["w"].astype(dtype),
-        window_strides=(stride,),
-        padding=[(padding, padding)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )
+    w = p["w"].astype(dtype)
+    xd = x.astype(dtype)
+    if groups == 1:
+        y = jax.lax.conv_general_dilated(
+            xd,
+            w,
+            window_strides=(stride,),
+            padding=[(padding, padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+    elif w.shape[1] == 1 and groups == x.shape[-1] == w.shape[2]:
+        k = w.shape[0]
+        t_out = (x.shape[1] + 2 * padding - k) // stride + 1
+        xp = jnp.pad(xd, ((0, 0), (padding, padding), (0, 0)))
+        span = (t_out - 1) * stride + 1
+        y = sum(
+            xp[:, i : i + span : stride, :] * w[i, 0, :] for i in range(k)
+        )
+    else:
+        cg = w.shape[1]
+        cog = w.shape[2] // groups
+        y = jnp.concatenate(
+            [
+                jax.lax.conv_general_dilated(
+                    xd[..., g * cg : (g + 1) * cg],
+                    w[:, :, g * cog : (g + 1) * cog],
+                    window_strides=(stride,),
+                    padding=[(padding, padding)],
+                    dimension_numbers=("NWC", "WIO", "NWC"),
+                )
+                for g in range(groups)
+            ],
+            axis=-1,
+        )
     if "b" in p:
         y = y + p["b"].astype(dtype)
     return y

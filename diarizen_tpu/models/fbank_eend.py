@@ -106,6 +106,12 @@ class FbankEendConfig:
     def num_powerset_classes(self) -> int:
         return num_powerset_classes(self.max_speakers_per_chunk, self.max_speakers_per_frame)
 
+    @property
+    def powerset(self):
+        from diarizen_tpu.ops.powerset import Powerset
+
+        return Powerset(self.max_speakers_per_chunk, self.max_speakers_per_frame)
+
     def num_frames(self, num_samples: int) -> int:
         return num_fbank_frames_centered(num_samples)
 

@@ -148,10 +148,18 @@ def embed_waveforms(
     cfg: ResNetConfig,
     waveforms: jnp.ndarray,
     weights: Optional[jnp.ndarray] = None,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """Raw (B, num_samples) waveforms -> embeddings; weights at any frame
-    resolution (nearest-interpolated), reference wespeaker/__init__.py:190-204."""
+    resolution (nearest-interpolated), reference wespeaker/__init__.py:190-204.
+
+    `compute_dtype=jnp.bfloat16` runs the conv trunk in bf16 on the MXU
+    (~2x throughput); the stats pool and embedding head stay f32
+    (stats_pool upcasts internally). Default None = full f32 — bit-parity
+    with the torch oracle for the DER gate."""
     fbank = wespeaker_fbank(waveforms)
+    if compute_dtype is not None:
+        fbank = fbank.astype(compute_dtype)
     return resnet_forward(params, cfg, fbank, weights)
 
 

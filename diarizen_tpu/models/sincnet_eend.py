@@ -60,8 +60,23 @@ class SincNetEendConfig:
     def num_powerset_classes(self) -> int:
         return num_powerset_classes(self.max_speakers_per_chunk, self.max_speakers_per_frame)
 
+    @property
+    def powerset(self):
+        from diarizen_tpu.ops.powerset import Powerset
+
+        return Powerset(self.max_speakers_per_chunk, self.max_speakers_per_frame)
+
     def num_frames(self, num_samples: int) -> int:
         return multi_conv_num_frames(num_samples, SINCNET_KERNELS, SINCNET_STRIDES)
+
+    def rf_info(self):
+        """(step s, duration s) from the SincNet conv stack receptive field
+        (reference model_pyannote.py receptive-field math)."""
+        from diarizen_tpu.ops.receptive_field import multi_conv_receptive_field_size
+
+        size1 = multi_conv_receptive_field_size(1, SINCNET_KERNELS, SINCNET_STRIDES)
+        size2 = multi_conv_receptive_field_size(2, SINCNET_KERNELS, SINCNET_STRIDES)
+        return (size2 - size1) / self.sample_rate, size1 / self.sample_rate
 
 
 def init_sincnet_eend_params(rng: jax.Array, cfg: SincNetEendConfig) -> Params:

@@ -59,3 +59,46 @@ def broadcast_from_host(x) -> np.ndarray:
     if jax.process_count() == 1:
         return np.asarray(x)
     return np.asarray(multihost_utils.broadcast_one_to_all(x))
+
+
+def process_window_shard(
+    num_windows: int,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> np.ndarray:
+    """This process's strided shard of window indices for multi-host
+    inference fan-out: process p handles windows p, p+P, p+2P, ...
+    (the SURVEY section 2.5 scale-out flow: shard windows across hosts,
+    gather posteriors/embeddings back for global clustering).
+
+    Pure function of (n, p, P) so the sharding math is unit-testable without
+    a multi-process run; defaults come from the live jax runtime."""
+    p = jax.process_index() if process_index is None else process_index
+    P = jax.process_count() if process_count is None else process_count
+    return np.arange(num_windows)[p::P]
+
+
+def reassemble_window_shards(shards, num_windows: int) -> np.ndarray:
+    """Re-interleave per-process strided shards (shards[p] holds windows
+    p, p+P, ...; possibly padded past its true length) back to original
+    window order. Pure — unit-testable without a multi-process run."""
+    P = len(shards)
+    out = np.zeros((num_windows,) + tuple(shards[0].shape[1:]), shards[0].dtype)
+    for p in range(P):
+        idx = np.arange(num_windows)[p::P]
+        out[idx] = shards[p][: len(idx)]
+    return out
+
+
+def gather_window_shards(local: np.ndarray, num_windows: int) -> np.ndarray:
+    """Inverse of `process_window_shard` across all processes: pad the local
+    shard to the common per-process length, all-gather, and re-interleave to
+    the original window order. Identity (modulo copy) in single-process."""
+    P = jax.process_count()
+    if P == 1:
+        return np.asarray(local)
+    per = -(-num_windows // P)  # ceil — all processes must gather equal shapes
+    padded = np.zeros((per,) + local.shape[1:], dtype=local.dtype)
+    padded[: len(local)] = local
+    gathered = gather_to_host(padded)  # (P, per, ...)
+    return reassemble_window_shards(list(gathered), num_windows)

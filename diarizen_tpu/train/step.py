@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from diarizen_tpu.models.eend import EendConfig, eend_forward
+from diarizen_tpu.models.eend import EendConfig
+from diarizen_tpu.models.forward import segmentation_forward
 from diarizen_tpu.train.loss import der_metrics, segmentation_loss
 
 
@@ -48,14 +49,16 @@ def make_train_step(
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: {"xs": (B, C, T) waveforms, "target": (B, F, K) binary labels}.
+    Works for every segmentation family via models/forward.py dispatch.
     """
     powerset = cfg.powerset
+    fwd = segmentation_forward(cfg)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
-            scores, new_ms = eend_forward(
+            scores, new_ms = fwd(
                 params, state.model_state, cfg, batch["xs"],
                 train=True, rng=step_rng, compute_dtype=compute_dtype,
             )
@@ -165,9 +168,10 @@ def make_eval_step(cfg: EendConfig, compute_dtype=jnp.bfloat16) -> Callable:
     """Returns eval_step(state, batch) -> metrics with loss + DER components
     (summed over the batch; accumulate across batches then divide)."""
     powerset = cfg.powerset
+    fwd = segmentation_forward(cfg)
 
     def eval_step(state: TrainState, batch: Dict):
-        scores, _ = eend_forward(
+        scores, _ = fwd(
             state.params, state.model_state, cfg, batch["xs"],
             train=False, compute_dtype=compute_dtype,
         )

@@ -158,7 +158,15 @@ class Trainer:
     # ------------------------------------------------------------------ train
 
     def train_epoch(self, loader, epoch: int, rng: jax.Array) -> Dict[str, float]:
-        losses, grad_norms, skipped = [], [], 0
+        # Device-side accumulators updated EVERY step (the reference averages
+        # every batch too, trainer_dual_opt.py loss bookkeeping); the adds are
+        # dispatched asynchronously, so the host never blocks on them — one
+        # sync at epoch end. Skipped (NaN) batches are excluded from the mean
+        # but counted exactly.
+        acc_loss = jnp.zeros(())
+        acc_gn = jnp.zeros(())
+        acc_good = jnp.zeros((), jnp.int32)
+        acc_skip = jnp.zeros((), jnp.int32)
         t0 = time.time()
         n = 0
         for i, batch in enumerate(loader):
@@ -169,24 +177,26 @@ class Trainer:
             else:
                 self.state, metrics = self._train_step(self.state, sharded, rng)
             n += 1
+            bad = metrics["skipped"]
+            acc_loss = acc_loss + jnp.where(bad, 0.0, metrics["loss"])
+            acc_gn = acc_gn + jnp.where(bad, 0.0, metrics["grad_norm"])
+            acc_good = acc_good + jnp.where(bad, 0, 1)
+            acc_skip = acc_skip + jnp.where(bad, 1, 0)
             if (i + 1) % self.tc.log_every == 0:
                 loss = float(metrics["loss"])
                 gn = float(metrics["grad_norm"])
-                losses.append(loss)
-                grad_norms.append(gn)
-                skipped += int(metrics["skipped"])
                 step = int(self.state.step)
                 self._log_scalar("train/loss", loss, step)
                 self._log_scalar("train/grad_norm", gn, step)
                 logger.info(
                     "epoch %d step %d loss %.4f grad_norm %.3f", epoch, step, loss, gn
                 )
-        # ensure last metrics are recorded even for short epochs
-        if not losses and n:
-            losses.append(float(metrics["loss"]))
         dt = time.time() - t0
+        good = max(int(acc_good), 1)
         return {
-            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_loss": float(acc_loss) / good if n else float("nan"),
+            "train_grad_norm": float(acc_gn) / good if n else float("nan"),
+            "skipped_batches": int(acc_skip),
             "train_batches": n,
             "epoch_seconds": dt,
         }

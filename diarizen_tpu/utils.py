@@ -63,6 +63,42 @@ class Timer:
         self.stop()
 
 
+def is_oom_error(exc: BaseException) -> bool:
+    """True when an exception is a device memory exhaustion (TPU HBM /
+    scoped-VMEM RESOURCE_EXHAUSTED, or a backend OOM string) — the condition
+    the reference catches as `torch.cuda.OutOfMemoryError`
+    (pyannote core/inference.py:216-223)."""
+    msg = str(exc)
+    return (
+        "RESOURCE_EXHAUSTED" in msg
+        or "Out of memory" in msg
+        or "out of memory" in msg
+        or "OOM" in msg
+    )
+
+
+def halve_batch_or_raise(exc: BaseException, batch_size: int, stage: str) -> int:
+    """Batch-backoff policy for device OOM during inference: halve and retry,
+    or re-raise with the reference's actionable message when already at 1
+    (core/inference.py:216-223)."""
+    import logging
+
+    if not is_oom_error(exc):
+        raise exc
+    if batch_size <= 1:
+        raise RuntimeError(
+            f"{stage} ran out of device memory even at batch_size=1 — "
+            "use shorter chunks (smaller `duration`), a smaller model, or "
+            "a device with more HBM"
+        ) from exc
+    new = batch_size // 2
+    logging.getLogger("diarizen_tpu.infer").warning(
+        "%s hit device OOM at batch_size=%d; retrying at %d",
+        stage, batch_size, new,
+    )
+    return new
+
+
 def print_env() -> dict:
     """Collect runtime environment info (reference utils.py print_env)."""
     import jax

@@ -75,13 +75,19 @@ def run(config: dict, mode: str, exp_dir: Path) -> None:
             logger.info("finetuning from averaged %d checkpoints", len(ckpt_dirs))
 
     trainer_args = config.get("trainer", {}).get("args", {})
-    if "optimizer_small" in config:
+    freeze_wavlm = trainer_args.get("freeze_wavlm", False)
+    if "optimizer_small" in config or freeze_wavlm:
+        # freeze_wavlm with a single [optimizer] (the reference frozen recipe)
+        # still needs the param split: trunk updates zeroed, head at lr
+        big = config.get("optimizer_big") or config.get("optimizer", {})
+        small = config.get("optimizer_small", {}).get("args", {})
         optimizer = dual_lr_optimizer(
             non_wavlm_param_labels(jax.tree_util.tree_map(np.asarray, params)),
-            lr_small=config["optimizer_small"]["args"].get("lr", 2e-5),
-            lr_big=config["optimizer_big"]["args"].get("lr", 1e-3),
+            lr_small=small.get("lr", 2e-5),
+            lr_big=big.get("args", {}).get("lr", 1e-3),
             warmup_steps=trainer_args.get("warmup_steps", 0),
             clip_percentile=trainer_args.get("gradient_percentile", 90),
+            freeze_wavlm=freeze_wavlm,
         )
     else:
         optimizer = adamw_with_warmup(
@@ -101,6 +107,8 @@ def run(config: dict, mode: str, exp_dir: Path) -> None:
         max_epochs=trainer_args.get("max_epochs", 100),
         patience=trainer_args.get("max_patience", 10),
         max_num_checkpoints=trainer_args.get("max_num_checkpoints", 100),
+        validation_interval=trainer_args.get("validation_interval", 1),
+        monitor_mode="max" if trainer_args.get("save_max_score") else "min",
         seed=seed,
     )
     trainer = Trainer(cfg, tc, optimizer, params, state)

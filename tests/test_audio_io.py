@@ -1,7 +1,13 @@
 import numpy as np
 import pytest
 
-from diarizen_tpu.core.audio import Audio, get_wav_info, read_wav, write_wav
+from diarizen_tpu.core.audio import (
+    Audio,
+    get_wav_info,
+    read_audio,
+    read_wav,
+    write_wav,
+)
 from diarizen_tpu.core.io_rttm import load_rttm, load_scp, load_uem, rttm_to_arrays
 from diarizen_tpu.core.segments import Segment
 
@@ -28,6 +34,23 @@ def test_reference_example_wav_loads():
     assert sr == 16000
     assert out.shape[0] >= 1
     assert abs(out.shape[1] / sr - 30.0) < 0.5
+
+
+def test_read_audio_dispatch(wav_file, tmp_path):
+    """read_audio: WAV decodes natively; non-WAV without soundfile raises an
+    actionable error naming the missing decoder (reference loads anything
+    torchaudio does, core/io.py:436 — documented gap)."""
+    path, wave, sr = wav_file
+    out, out_sr = read_audio(path)
+    assert out_sr == sr and out.shape == wave.shape
+
+    flac = tmp_path / "x.flac"
+    flac.write_bytes(b"fLaC\x00\x00\x00\x22")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(ValueError, match="soundfile"):
+            read_audio(flac)
 
 
 def test_get_wav_info(wav_file):

@@ -116,7 +116,7 @@ def test_full_pipeline_der_on_synthetic(tmp_path):
 
         min_num_samples = 400
 
-        def __call__(self, wave_device, starts, weights):
+        def __call__(self, wave_device, starts, weights, hook=None):
             from diarizen_tpu.models.fbank import kaldi_fbank
 
             outs = []

@@ -156,6 +156,73 @@ def test_sliding_inference_on_example_wav():
     assert abs(out.sliding_window.step - 0.2) < 1e-9
 
 
+def test_oom_backoff_halves_batch_and_matches():
+    """Device OOM during inference must transparently halve the batch and
+    produce identical output (reference catches CUDA OOM with an actionable
+    message, core/inference.py:216-223; here we also retry)."""
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    wave = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (1, 16000 * 6)) * 0.1
+    ).astype(np.float32)
+
+    ref_inf = SlidingInference(params, state, cfg, batch_size=2)
+    expected = ref_inf(wave, 16000)
+
+    inf = SlidingInference(params, state, cfg, batch_size=8)
+    real_fwd = inf._fwd
+
+    def oomy_fwd(wave_device, starts, soft):
+        if starts.shape[0] > 2:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Attempting to allocate 99.00G in HBM"
+            )
+        return real_fwd(wave_device, starts, soft)
+
+    inf._fwd = oomy_fwd
+    out = inf(wave, 16000)
+    assert inf.batch_size == 2  # 8 -> 4 -> 2
+    np.testing.assert_array_equal(out.data, expected.data)
+
+    # non-OOM errors must propagate untouched
+    inf2 = SlidingInference(params, state, cfg, batch_size=4)
+    def broken(wave_device, starts, soft):
+        raise ValueError("shape mismatch")
+    inf2._fwd = broken
+    with pytest.raises(ValueError, match="shape mismatch"):
+        inf2(wave, 16000)
+
+    # OOM at batch_size=1 raises the actionable message
+    inf3 = SlidingInference(params, state, cfg, batch_size=1)
+    def always_oom(wave_device, starts, soft):
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+    inf3._fwd = always_oom
+    with pytest.raises(RuntimeError, match="shorter chunks"):
+        inf3(wave, 16000)
+
+
+def test_embedding_oom_backoff():
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    rparams = init_resnet_params(jax.random.PRNGKey(1), rcfg)
+    emb = EmbeddingInference(
+        rparams, rcfg, window_size=32000, num_speakers=3, batch_size=8
+    )
+    real_fwd = emb._fwd
+
+    def oomy_fwd(wave_device, starts, weights):
+        if starts.shape[0] > 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return real_fwd(wave_device, starts, weights)
+
+    emb._fwd = oomy_fwd
+    wave = jax.device_put(np.zeros(16000 * 6, np.float32))
+    starts = np.arange(5, dtype=np.int64) * 8000
+    weights = np.ones((5, 3, 99), np.float32)
+    out = emb(wave, starts, weights)
+    assert emb.batch_size == 2
+    assert out.shape == (5, 3, 32)
+
+
 @pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="example wav missing")
 def test_full_pipeline_runs_on_example_wav(tmp_path):
     """Mechanics end-to-end with tiny random models on real audio: the

@@ -236,6 +236,39 @@ def optax_global_norm(tree):
     return optax.global_norm(tree)
 
 
+def test_trainer_counts_every_batch_and_nan_skips(tmp_path):
+    """train_epoch accumulates loss/grad-norm/skip ON DEVICE for every step
+    (VERDICT: log_every sampling undercounted NaN skips ~50x): a NaN batch
+    must be excluded from the mean and counted exactly once."""
+    cfg = tiny_cfg(chunk_size=1.0)
+    nf = cfg.num_frames(16000)
+    params, model_state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    optimizer = dual_lr_optimizer(
+        non_wavlm_param_labels(params), lr_small=1e-4, lr_big=3e-3, clip_percentile=None
+    )
+    tc = TrainerConfig(
+        exp_dir=str(tmp_path / "exp"), max_epochs=1, compute_dtype="float32",
+        log_every=1000,  # sampling never fires; accumulators must still count
+    )
+    trainer = Trainer(cfg, tc, optimizer, params, model_state)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(3):
+        xs = rng.standard_normal((2, 1, 16000)).astype(np.float32) * 0.1
+        if i == 1:
+            xs[0, 0, 0] = np.nan  # poisons the loss of this batch only
+        target = np.zeros((2, nf, 4), dtype=np.float32)
+        target[:, :, 0] = 1.0
+        batches.append({"xs": xs, "target": target})
+
+    m = trainer.train_epoch(batches, epoch=0, rng=jax.random.PRNGKey(1))
+    assert m["train_batches"] == 3
+    assert m["skipped_batches"] == 1
+    assert math.isfinite(m["train_loss"])
+    assert math.isfinite(m["train_grad_norm"])
+
+
 def test_trainer_two_epochs_loss_decreases(kaldi_dir, tmp_path):
     cfg = tiny_cfg(chunk_size=2.0)
     nf = cfg.num_frames(int(2.0 * 16000))
