@@ -54,30 +54,41 @@ class Timeline:
     """An ordered collection of segments (possibly overlapping)."""
 
     def __init__(self, segments: Optional[List[Segment]] = None):
-        self.segments: List[Segment] = sorted(segments or [])
+        self._segments: List[Segment] = list(segments or [])
+        self._dirty = True
+
+    @property
+    def segments(self) -> List[Segment]:
+        # sorted lazily: per-insert sorting is O(n^2 log n) over a multi-hour
+        # file's segment count (found by the 2 h host-stitching budget test)
+        if self._dirty:
+            self._segments.sort()
+            self._dirty = False
+        return self._segments
 
     def add(self, segment: Segment) -> None:
-        self.segments.append(segment)
-        self.segments.sort()
+        self._segments.append(segment)
+        self._dirty = True
 
     def __iter__(self) -> Iterator[Segment]:
         return iter(self.segments)
 
     def __len__(self) -> int:
-        return len(self.segments)
+        return len(self._segments)
 
     def __bool__(self) -> bool:
-        return len(self.segments) > 0
+        return len(self._segments) > 0
 
     def duration(self) -> float:
         """Total duration of the support (merged overlaps counted once)."""
         return sum(s.duration for s in self.support())
 
     def extent(self) -> Segment:
-        if not self.segments:
+        if not self._segments:
             return Segment(0.0, 0.0)
         return Segment(
-            min(s.start for s in self.segments), max(s.end for s in self.segments)
+            min(s.start for s in self._segments),
+            max(s.end for s in self._segments),
         )
 
     def support(self, collar: float = 0.0) -> "Timeline":
@@ -85,7 +96,7 @@ class Timeline:
         (pyannote.core semantics: overlapping segments always merge; touching
         segments merge only when collar > 0)."""
         merged: List[Segment] = []
-        for seg in sorted(self.segments):
+        for seg in self.segments:
             if merged and seg.start - merged[-1].end < collar:
                 if seg.end > merged[-1].end:
                     merged[-1] = Segment(merged[-1].start, seg.end)
@@ -96,8 +107,9 @@ class Timeline:
     def crop(self, other: "Timeline") -> "Timeline":
         """Intersect this timeline with the support of `other`."""
         out: List[Segment] = []
+        supports = other.support().segments
         for seg in self.segments:
-            for sup in other.support():
+            for sup in supports:
                 inter = seg & sup
                 if inter:
                     out.append(inter)
@@ -125,12 +137,22 @@ class Annotation:
 
     def __init__(self, uri: Optional[str] = None):
         self.uri = uri
-        self._rows: List[Tuple[Segment, object, str]] = []
+        self._unsorted: List[Tuple[Segment, object, str]] = []
+        self._sorted = True
+
+    @property
+    def _rows(self) -> List[Tuple[Segment, object, str]]:
+        # lazily sorted: per-insert sorting made pipeline output assembly
+        # O(n^2 log n) over a multi-hour file's segment count
+        if not self._sorted:
+            self._unsorted.sort(key=lambda r: (r[0].start, r[0].end, str(r[2])))
+            self._sorted = True
+        return self._unsorted
 
     def __setitem__(self, key: Tuple[Segment, object], label: str) -> None:
         segment, track = key
-        self._rows.append((segment, track, label))
-        self._rows.sort(key=lambda r: (r[0].start, r[0].end, str(r[2])))
+        self._unsorted.append((segment, track, label))
+        self._sorted = False
 
     def itertracks(
         self, yield_label: bool = True
@@ -139,34 +161,35 @@ class Annotation:
             yield row if yield_label else row[:2]
 
     def labels(self) -> List[str]:
-        return sorted({label for _, _, label in self._rows})
+        return sorted({label for _, _, label in self._unsorted})
 
     def label_timeline(self, label: str) -> Timeline:
-        return Timeline([seg for seg, _, lab in self._rows if lab == label])
+        return Timeline([seg for seg, _, lab in self._unsorted if lab == label])
 
     def get_timeline(self) -> Timeline:
-        return Timeline([seg for seg, _, _ in self._rows])
+        return Timeline([seg for seg, _, _ in self._unsorted])
 
     def __len__(self) -> int:
-        return len(self._rows)
+        return len(self._unsorted)
 
     def __bool__(self) -> bool:
-        return len(self._rows) > 0
+        return len(self._unsorted) > 0
 
     def crop(self, support: Timeline) -> "Annotation":
         out = Annotation(uri=self.uri)
-        for seg, track, label in self._rows:
-            for sup in support.support():
+        supports = support.support().segments
+        for seg, track, label in self._unsorted:
+            for sup in supports:
                 inter = seg & sup
                 if inter:
-                    out._rows.append((inter, track, label))
-        out._rows.sort(key=lambda r: (r[0].start, r[0].end, str(r[2])))
+                    out._unsorted.append((inter, track, label))
+        out._sorted = False
         return out
 
     def rename_labels(self, mapping: Dict[str, str]) -> "Annotation":
         out = Annotation(uri=self.uri)
         for seg, track, label in self._rows:
-            out._rows.append((seg, track, mapping.get(label, label)))
+            out._unsorted.append((seg, track, mapping.get(label, label)))
         return out
 
     def support(self, collar: float = 0.0) -> "Annotation":
@@ -174,8 +197,8 @@ class Annotation:
         out = Annotation(uri=self.uri)
         for label in self.labels():
             for i, seg in enumerate(self.label_timeline(label).support(collar)):
-                out._rows.append((seg, i, label))
-        out._rows.sort(key=lambda r: (r[0].start, r[0].end, str(r[2])))
+                out._unsorted.append((seg, i, label))
+        out._sorted = False
         return out
 
     def chart(self) -> List[Tuple[str, float]]:

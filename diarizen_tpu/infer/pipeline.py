@@ -234,7 +234,16 @@ class EmbeddingInference:
             pending.append((out, n_real))
             if hook is not None:
                 hook("embeddings", None, total=n, completed=b0 + n_real)
-        return [np.asarray(o[:nr], dtype=np.float64) for o, nr in pending]
+        if not pending:
+            return []
+        # one device-side concat + one d2h (per-batch fetches each pay a
+        # tunnel round-trip; see sliding.py)
+        merged = (
+            pending[0][0][: pending[0][1]]
+            if len(pending) == 1
+            else jnp.concatenate([o[:nr] for o, nr in pending])
+        )
+        return [np.asarray(merged, dtype=np.float64)]
 
 
 @dataclass

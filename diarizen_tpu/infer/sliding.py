@@ -115,7 +115,10 @@ class SlidingInference:
 
     def _infer_batches(self, wave_device, starts, soft: bool, hook):
         # enqueue all batches first (async dispatch overlaps compute with the
-        # host<->device transfers), then collect
+        # host<->device transfers), then collect with ONE device-side concat +
+        # ONE d2h transfer: per-batch np.asarray pays a full tunnel round-trip
+        # each (~30 ms on the axon link), which dominated the stage at 5+
+        # batches per file
         total = len(starts)
         pending = []
         for b0 in range(0, total, self.batch_size):
@@ -127,7 +130,14 @@ class SlidingInference:
             pending.append((out, n_real))
             if hook is not None:
                 hook("segmentation", None, total=total, completed=b0 + n_real)
-        return [np.asarray(out[:n_real], dtype=np.float32) for out, n_real in pending]
+        if not pending:
+            return []
+        merged = (
+            pending[0][0][: pending[0][1]]
+            if len(pending) == 1
+            else jnp.concatenate([out[:n] for out, n in pending])
+        )
+        return [np.asarray(merged, dtype=np.float32)]
 
     def num_chunks(self, num_samples: int) -> Tuple[int, bool]:
         if num_samples >= self.window_size:

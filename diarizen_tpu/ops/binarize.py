@@ -105,18 +105,66 @@ class Binarize:
             segments.append(Segment(start - self.pad_onset, t + self.pad_offset))
         return segments
 
+    def _active_segments_vec(
+        self, rows: np.ndarray, frame_times: np.ndarray
+    ) -> List[List[Segment]]:
+        """Vectorized equivalent of `_active_segments` over all classes.
+
+        The stateful sweep is a hysteresis: state flips ON at frames with
+        score > onset, OFF at frames with score < offset, and holds otherwise
+        — which is forward-filling the last *defined* frame's on/off value.
+        Only valid when onset >= offset (a frame can't be both); the caller
+        falls back to the python sweep otherwise.
+        """
+        num_classes, num_frames = rows.shape
+        on = rows > self.onset
+        off = rows < self.offset
+        defined = on | off
+        idx = np.where(defined, np.arange(num_frames)[None, :], -1)
+        idx = np.maximum.accumulate(idx, axis=1)
+        cls = np.arange(num_classes)[:, None]
+        state = np.where(idx >= 0, on[cls, np.maximum(idx, 0)], on[:, :1])
+
+        out: List[List[Segment]] = []
+        for k in range(num_classes):
+            s = state[k]
+            starts_idx = np.flatnonzero(s[1:] & ~s[:-1]) + 1
+            ends_idx = np.flatnonzero(~s[1:] & s[:-1]) + 1
+            starts = frame_times[starts_idx]
+            ends = frame_times[ends_idx]
+            if s[0]:
+                starts = np.concatenate([[frame_times[0]], starts])
+            if s[-1]:
+                ends = np.concatenate([ends, [frame_times[-1]]])
+            out.append(
+                [
+                    Segment(a - self.pad_onset, b + self.pad_offset)
+                    for a, b in zip(starts, ends)
+                ]
+            )
+        return out
+
     def __call__(self, scores: SlidingWindowFeature) -> Annotation:
         """scores: (num_frames, num_classes) SlidingWindowFeature."""
-        data = scores.data
+        data = np.asarray(scores.data)
         window = scores.sliding_window
         num_frames, num_classes = data.shape
-        frame_times = np.array(
-            [window[i].middle for i in range(num_frames)], dtype=np.float64
+        frame_times = (
+            window.start
+            + window.step * np.arange(num_frames, dtype=np.float64)
+            + 0.5 * window.duration
         )
 
         annotation = Annotation()
+        if self.onset >= self.offset:
+            per_class = self._active_segments_vec(data.T, frame_times)
+        else:
+            per_class = [
+                self._active_segments(data[:, k], frame_times)
+                for k in range(num_classes)
+            ]
         for k in range(num_classes):
-            for i, seg in enumerate(self._active_segments(data[:, k], frame_times)):
+            for i, seg in enumerate(per_class[k]):
                 annotation[seg, i] = str(k)
 
         # padding may create overlaps; merge them + fill short same-label gaps

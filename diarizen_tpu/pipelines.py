@@ -4,9 +4,12 @@ Reference parity: `DiariZenPipeline.from_pretrained`
 (diarizen/pipelines/inference.py:26-119) — a model directory contains
 `config.toml` (model + inference + clustering sections), the segmentation
 checkpoint (`pytorch_model.bin` torch format or `params.npz`), optionally a
-`plda/` dir for VBx and a WeSpeaker embedding checkpoint. This loader reads
-local directories (e.g. an HF snapshot fetched out-of-band); there is no hub
-download here (zero-egress environments).
+`plda/` dir for VBx and a WeSpeaker embedding checkpoint. `from_pretrained`
+accepts a local directory OR a Hugging Face repo id (e.g.
+"BUT-FIT/DiariZen-Pyannote-*"): hub ids resolve through
+`huggingface_hub.snapshot_download` (cache-first, so a pre-populated
+HF_HOME works fully offline) with an actionable error when the model is
+neither cached nor reachable.
 """
 
 from __future__ import annotations
@@ -27,14 +30,38 @@ from diarizen_tpu.models.resnet import (
 )
 
 
+def resolve_model_dir(model_dir_or_repo: str | Path) -> Path:
+    """Local directory passes through; anything else is treated as an HF hub
+    repo id and resolved via snapshot_download (reference
+    `DiariZenPipeline.from_pretrained` pulls the same artifacts off the hub,
+    diarizen/pipelines/inference.py:26-119). Cache-first: a repo already in
+    HF_HOME loads with no network."""
+    p = Path(model_dir_or_repo)
+    if p.is_dir():
+        return p
+    try:
+        from huggingface_hub import snapshot_download
+
+        return Path(snapshot_download(repo_id=str(model_dir_or_repo)))
+    except Exception as e:  # noqa: BLE001 — fold network/cache errors into one message
+        raise FileNotFoundError(
+            f"{model_dir_or_repo!r} is neither a local model directory nor a "
+            "resolvable Hugging Face repo id (offline and not in the HF "
+            "cache?). Download it on a connected machine with "
+            f"`huggingface-cli download {model_dir_or_repo}` and point "
+            "from_pretrained at the local path."
+        ) from e
+
+
 def from_pretrained(
     model_dir: str | Path,
     embedding_ckpt: Optional[str | Path] = None,
     rttm_out_dir: Optional[str | Path] = None,
     mesh=None,
 ) -> DiarizationPipeline:
-    """Build the full diarization pipeline from a local pretrained dir."""
-    model_dir = Path(model_dir)
+    """Build the full diarization pipeline from a local pretrained dir or an
+    HF hub repo id."""
+    model_dir = resolve_model_dir(model_dir)
     config = load_toml(model_dir / "config.toml")
 
     cfg, params, state = instantiate(

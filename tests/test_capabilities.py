@@ -140,6 +140,18 @@ def tiny_builder(**kw):
     assert ann.uri == "x"
 
 
+def test_resolve_model_dir_hub_fallback(tmp_path, monkeypatch):
+    """Local dirs pass through; a hub repo id that is neither cached nor
+    reachable raises an actionable FileNotFoundError (offline-safe hub path,
+    reference DiariZenPipeline.from_pretrained)."""
+    from diarizen_tpu import pipelines
+
+    assert pipelines.resolve_model_dir(tmp_path) == tmp_path
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # fail fast, no network attempt
+    with pytest.raises(FileNotFoundError, match="huggingface-cli download"):
+        pipelines.resolve_model_dir("BUT-FIT/definitely-not-cached-model")
+
+
 def test_vad_osd_pipelines():
     import sys, os
 

@@ -156,6 +156,36 @@ def test_sliding_inference_on_example_wav():
     assert abs(out.sliding_window.step - 0.2) < 1e-9
 
 
+def test_host_stages_scale_to_two_hours():
+    """Stages 3-7 (count -> reconstruct -> binarize) on a 2-hour file's chunk
+    count must stay linear-time on the host (VERDICT r1: the pre-vectorization
+    chunk x cluster / frame loops were quadratic). Budget is generous — the
+    point is catching O(n^2) regressions, which blow through it by 10x+."""
+    import time as _time
+
+    from diarizen_tpu.ops.binarize import Binarize
+
+    rng = np.random.default_rng(0)
+    num_chunks = 9000  # 2 h at 8 s windows / 0.8 s step
+    num_frames, K = 399, 4
+    chunks = SlidingWindow(start=0.0, duration=8.0, step=0.8)
+    data = (rng.uniform(size=(num_chunks, num_frames, K)) > 0.8).astype(np.float32)
+    binarized = SlidingWindowFeature(data, chunks)
+    frames = SlidingWindow(start=0.0, duration=0.02, step=0.02)
+    hard_clusters = rng.integers(0, 3, size=(num_chunks, K))
+
+    t0 = _time.perf_counter()
+    count = speaker_count(binarized, frames, warm_up=(0.0, 0.0))
+    count.data = np.minimum(count.data, 3).astype(np.int8)
+    discrete = reconstruct(binarized, hard_clusters, count)
+    ann = Binarize(onset=0.5, offset=0.5)(discrete)
+    dt = _time.perf_counter() - t0
+
+    assert len(count.data) > 350_000  # really 2 h of 20 ms frames
+    assert len(ann.labels()) >= 1
+    assert dt < 60.0, f"host stitching took {dt:.1f}s for a 2 h file"
+
+
 def test_oom_backoff_halves_batch_and_matches():
     """Device OOM during inference must transparently halve the batch and
     produce identical output (reference catches CUDA OOM with an actionable
