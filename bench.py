@@ -50,7 +50,10 @@ def make_wave(dur_s=120, sr=16000):
         wave[m] += 0.01 * rng.standard_normal(int(m.sum())).astype(np.float32)
         pos += seg * rng.uniform(0.6, 1.0)
         spk = 1 - spk
-    return wave[None]
+    # quantize like a real PCM16 WAV (AMI/DIHARD distributions) — exercises
+    # the int16 tunnel-transfer fast path the way production input does
+    wave = np.clip(np.rint(wave * 32767.0), -32768, 32767) / 32768.0
+    return wave[None].astype(np.float32)
 
 
 def build_pipeline(name, rparams, rcfg):

@@ -172,6 +172,8 @@ class EmbeddingInference:
             chunks = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(wave_device, (s,), (window_size,))
             )(starts)  # (B, window)
+            if chunks.dtype == jnp.int16:  # PCM shipped at half the bytes
+                chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
             return embed_waveforms(
                 params, cfg, chunks, weights, compute_dtype=compute_dtype
             )
@@ -277,8 +279,13 @@ class DiarizationPipeline:
             waveform = waveform[None]
         waveform = waveform[0:1]  # force SDM channel 0 (inference.py:127-128)
 
+        # one waveform h2d for the whole pipeline (the transfer is ~2x the
+        # segmentation compute on the axon tunnel; sharing it with the
+        # embedding stage halves the pipeline's h2d bytes)
+        prepared = self.seg_inference.prepare_wave(waveform)
+
         segmentations = self.seg_inference(
-            waveform, sample_rate, soft=False, hook=hook
+            waveform, sample_rate, soft=False, hook=hook, prepared=prepared
         )
         if self.apply_median_filtering:
             segmentations.data = median_filter(
@@ -297,7 +304,9 @@ class DiarizationPipeline:
         if count.data.size == 0 or np.nanmax(count.data) == 0:
             return ann  # no speech at all (speaker_diarization.py:503-509)
 
-        embeddings = self.get_embeddings(waveform[0], binarized, hook=hook)
+        embeddings = self.get_embeddings(
+            waveform[0], binarized, hook=hook, prepared=prepared
+        )
         if hook is not None:
             hook("embeddings", embeddings)
 
@@ -336,6 +345,7 @@ class DiarizationPipeline:
     def get_embeddings(
         self, waveform: np.ndarray, binarized: SlidingWindowFeature,
         hook: Optional[Callable] = None,
+        prepared=None,
     ) -> np.ndarray:
         """(num_chunks, S, D) embeddings with exclude-overlap mask fallback
         (speaker_diarization.py:228-360, vectorized per chunk)."""
@@ -354,7 +364,11 @@ class DiarizationPipeline:
             weights = masks
 
         # one padded device copy of the waveform, windows gathered on device
-        wave_device, starts = self.seg_inference.prepare_wave(waveform)
+        # (shared with the segmentation stage when `prepared` is passed)
+        wave_device, starts = (
+            prepared if prepared is not None
+            else self.seg_inference.prepare_wave(waveform)
+        )
         starts = starts[:num_chunks]
 
         weights = np.transpose(weights, (0, 2, 1))  # (chunks, S, frames)

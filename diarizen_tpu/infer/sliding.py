@@ -79,6 +79,8 @@ class SlidingInference:
             chunks = jax.vmap(
                 lambda s: jax.lax.dynamic_slice(wave_device, (s,), (self.window_size,))
             )(starts)  # (B, window)
+            if chunks.dtype == jnp.int16:  # PCM shipped at half the bytes
+                chunks = chunks.astype(jnp.float32) * (1.0 / 32768.0)
             scores, _ = model_fwd(
                 params, state, cfg, chunks, train=False, compute_dtype=compute_dtype
             )  # (B, F, P) log-probs
@@ -153,7 +155,11 @@ class SlidingInference:
         """Pad + ship the waveform to device ONCE; returns
         (wave_device, starts). The device copy is shared with the embedding
         stage — windows overlap 90%, so gathering on device instead of
-        shipping per-chunk crops cuts host->device traffic ~10x."""
+        shipping per-chunk crops cuts host->device traffic ~10x.
+
+        PCM-sourced audio (float exactly representable as int16, the common
+        WAV case) ships as int16 — half the tunnel bytes, bit-exact f32
+        reconstruction on device (x/2^15 is a power-of-two scale)."""
         if waveform.ndim == 2:
             waveform = waveform[0]
         num_samples = waveform.shape[0]
@@ -163,8 +169,18 @@ class SlidingInference:
         # zero-pad so every window gather (incl. the orphan last chunk and the
         # batch padding) stays in bounds
         pad_to = starts[-1] + self.window_size if total else self.window_size
-        wave = np.zeros(max(pad_to, self.window_size), dtype=np.float32)
-        wave[:num_samples] = waveform
+        pad_to = max(pad_to, self.window_size)
+
+        scaled = waveform.astype(np.float32) * 32768.0
+        if (
+            np.all(np.abs(scaled) <= 32767.0)
+            and np.array_equal(scaled, np.rint(scaled))
+        ):
+            wave = np.zeros(pad_to, dtype=np.int16)
+            wave[:num_samples] = scaled.astype(np.int16)
+        else:
+            wave = np.zeros(pad_to, dtype=np.float32)
+            wave[:num_samples] = waveform
         return jax.device_put(wave), starts
 
     def __call__(
@@ -173,13 +189,16 @@ class SlidingInference:
         sample_rate: Optional[int] = None,
         soft: bool = False,
         hook: Optional[Callable] = None,
+        prepared=None,
     ) -> SlidingWindowFeature:
         """`hook(step_name, artifact, total=, completed=)` is invoked per batch
         (the reference engine's progress protocol, core/inference.py:85-90 +
-        pipelines/utils/hook.py)."""
+        pipelines/utils/hook.py). `prepared` is an optional
+        `prepare_wave(waveform)` result — lets the caller ship the waveform to
+        device once and share the copy across pipeline stages."""
         sample_rate = sample_rate or self.sample_rate
         assert sample_rate == self.sample_rate, "resample before inference"
-        wave_device, starts = self.prepare_wave(waveform)
+        wave_device, starts = prepared if prepared is not None else self.prepare_wave(waveform)
 
         # device OOM -> halve the batch and re-run (jit re-specializes on the
         # new batch shape); reference equivalent: core/inference.py:216-223

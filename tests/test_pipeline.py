@@ -156,6 +156,38 @@ def test_sliding_inference_on_example_wav():
     assert abs(out.sliding_window.step - 0.2) < 1e-9
 
 
+@pytest.mark.skipif(not os.path.exists(EXAMPLE_WAV), reason="example wav missing")
+def test_int16_wave_transfer_is_bit_exact():
+    """PCM-representable waveforms ship to device as int16 (half the tunnel
+    bytes); the on-device x/2^15 reconstruction must give bit-identical
+    segmentation to the f32 path."""
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    inf = SlidingInference(params, state, cfg, batch_size=8)
+    wave, sr = read_wav(EXAMPLE_WAV)
+    wave = wave[:, : 16000 * 6]
+
+    prepared = inf.prepare_wave(wave)
+    assert prepared[0].dtype == np.int16  # WAV is PCM16 -> fast path taken
+    out_i16 = inf(wave, sr, prepared=prepared)
+
+    # force the f32 path by making one sample non-representable
+    wave_f = wave.copy()
+    wave_f[0, 0] += 2.0 ** -20
+    prepared_f = inf.prepare_wave(wave_f)
+    assert prepared_f[0].dtype == np.float32
+    wave_f[0, 0] = wave[0, 0]
+    prepared_exact_f32 = inf.prepare_wave(np.asarray(wave, np.float64))
+    assert prepared_exact_f32[0].dtype == np.int16
+
+    out_f32 = inf(
+        wave, sr,
+        prepared=(jax.device_put(np.asarray(prepared[0], np.float32) / 32768.0),
+                  prepared[1]),
+    )
+    np.testing.assert_array_equal(out_i16.data, out_f32.data)
+
+
 def test_host_stages_scale_to_two_hours():
     """Stages 3-7 (count -> reconstruct -> binarize) on a 2-hour file's chunk
     count must stay linear-time on the host (VERDICT r1: the pre-vectorization
