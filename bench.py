@@ -93,7 +93,7 @@ def build_pipeline(name, rparams, rcfg):
     )
 
 
-def bench_config(name, waveform, sr, dur_s, rparams, rcfg, repeats=3):
+def bench_config(name, waveform, sr, dur_s, rparams, rcfg, repeats=3, n_stream=4):
     from diarizen_tpu.hooks import TimingHook
 
     pipeline = build_pipeline(name, rparams, rcfg)
@@ -123,7 +123,32 @@ def bench_config(name, waveform, sr, dur_s, rparams, rcfg, repeats=3):
     )
     for k, v in stages.items():
         print(f"[{name}]   {k}: {v['seconds']}s", file=sys.stderr)
-    return {"audio_s_per_s": round(value, 1), "seconds": round(best_dt, 3), "stages": stages}
+
+    # streamed full-eval mode: the BASELINE north-star is throughput over a
+    # whole test set; stream() hides host stages + transfers behind the next
+    # file's device compute (outputs identical to per-file calls)
+    best_stream = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        anns = list(pipeline.stream([waveform] * n_stream, sr,
+                                    uris=[f"s{i}" for i in range(n_stream)]))
+        dt_stream = time.perf_counter() - t0
+        if best_stream is None or dt_stream < best_stream:
+            best_stream = dt_stream
+    # identical output modulo the uri field
+    strip = lambda a: [ln.split()[2:] for ln in a.to_rttm().splitlines()]
+    assert strip(anns[-1]) == strip(ann)
+    stream_value = n_stream * dur_s / best_stream
+    print(
+        f"[{name}] streamed x{n_stream}: {best_stream:.2f}s"
+        f" = {stream_value:.0f} audio-s/s", file=sys.stderr,
+    )
+    return {
+        "audio_s_per_s_streamed": round(stream_value, 1),
+        "audio_s_per_s": round(value, 1),
+        "seconds": round(best_dt, 3),
+        "stages": stages,
+    }
 
 
 def main():
@@ -142,13 +167,14 @@ def main():
         results[name] = bench_config(name, waveform, sr, dur_s, rparams, rcfg)
 
     flagship = FLAGSHIP if FLAGSHIP in results else names[0]
-    value = results[flagship]["audio_s_per_s"]
+    value = results[flagship]["audio_s_per_s_streamed"]
     print(
         json.dumps(
             {
                 "metric": (
-                    f"full-pipeline audio-seconds/s/chip, flagship {flagship} "
-                    "(WavLM seg 8s/0.8s batch32 + ResNet34 bf16 emb + AHC, 120s file)"
+                    f"full-pipeline audio-seconds/s/chip, flagship {flagship}, "
+                    "streamed multi-file eval (WavLM seg 8s/0.8s batch32 + "
+                    "ResNet34 bf16 emb + AHC, 4x120s PCM files)"
                 ),
                 "value": value,
                 "unit": "audio-seconds/s",

@@ -115,12 +115,11 @@ class SlidingInference:
             self._params, self._state, wave, starts, soft
         )
 
-    def _infer_batches(self, wave_device, starts, soft: bool, hook):
-        # enqueue all batches first (async dispatch overlaps compute with the
-        # host<->device transfers), then collect with ONE device-side concat +
-        # ONE d2h transfer: per-batch np.asarray pays a full tunnel round-trip
-        # each (~30 ms on the axon link), which dominated the stage at 5+
-        # batches per file
+    def dispatch(self, wave_device, starts, soft: bool, hook=None):
+        """Enqueue all batches (async dispatch — returns ONE device-side
+        concat, no host sync). Collect later with `collect`; splitting the
+        two lets a caller overlap this file's device compute with another
+        file's host-side stages (DiarizationPipeline.stream)."""
         total = len(starts)
         pending = []
         for b0 in range(0, total, self.batch_size):
@@ -133,13 +132,24 @@ class SlidingInference:
             if hook is not None:
                 hook("segmentation", None, total=total, completed=b0 + n_real)
         if not pending:
-            return []
-        merged = (
+            return None
+        return (
             pending[0][0][: pending[0][1]]
             if len(pending) == 1
             else jnp.concatenate([out[:n] for out, n in pending])
         )
-        return [np.asarray(merged, dtype=np.float32)]
+
+    @staticmethod
+    def collect(merged):
+        """One d2h transfer of the dispatched result (per-batch np.asarray
+        pays a ~30 ms tunnel round-trip each, which dominated the stage at
+        5+ batches per file)."""
+        if merged is None:
+            return []
+        return [np.asarray(merged).astype(np.float32)]
+
+    def _infer_batches(self, wave_device, starts, soft: bool, hook):
+        return self.collect(self.dispatch(wave_device, starts, soft, hook))
 
     def num_chunks(self, num_samples: int) -> Tuple[int, bool]:
         if num_samples >= self.window_size:
@@ -218,6 +228,11 @@ class SlidingInference:
                         "mesh or start from a smaller batch_size"
                     )
 
+        return self.to_feature(outputs)
+
+    def to_feature(self, outputs) -> SlidingWindowFeature:
+        """Collected batch outputs -> SlidingWindowFeature with the chunk
+        window (empty-file case included)."""
         if outputs:
             data = np.vstack(outputs)
         else:

@@ -145,9 +145,18 @@ def main():
     scp = load_scp(args.wav_scp)
     items = list(scp.items())[: args.max_files]
     hyps = {}
-    for uri, path in items:
-        wave, sr = read_wav(path)
-        ann = pipeline(wave, sr, uri=uri)
+
+    # streamed mode: file i+1's device compute is dispatched before file i's
+    # host stages run, so stitching/clustering/RTTM io hide behind the chip
+    # (identical outputs to per-file calls; see DiarizationPipeline.stream)
+    def waves():
+        for _, path in items:
+            wave, sr = read_wav(path)
+            assert sr == 16000, f"{path}: expected 16 kHz, got {sr}"
+            yield wave
+
+    for (uri, _), ann in zip(items, pipeline.stream(waves(), 16000,
+                                                    uris=[u for u, _ in items])):
         hyps[uri] = ann
         (out_dir / f"{uri}.rttm").write_text(ann.to_rttm())
         print(f"{uri}: {len(ann.labels())} speakers")

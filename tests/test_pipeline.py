@@ -336,3 +336,12 @@ def test_full_pipeline_runs_on_example_wav(tmp_path):
     ann2 = pipeline(silent, sr, uri="silence")
     # (random models may fire on silence; accept either but require validity)
     assert ann2.uri == "silence"
+
+    # streamed multi-file mode must yield identical RTTMs to per-file calls
+    # (file i+1's device work overlaps file i's host stages)
+    waves = [wave[:, : 16000 * 8], wave[:, 16000 * 2 : 16000 * 9], silent]
+    uris = ["f0", "f1", "f2"]
+    streamed = list(pipeline.stream(waves, sr, uris=uris))
+    assert [a.uri for a in streamed] == uris
+    for w, u, got in zip(waves, uris, streamed):
+        assert got.to_rttm() == pipeline(w, sr, uri=u).to_rttm()
