@@ -222,6 +222,13 @@ class EmbeddingInference:
                     )
         return np.concatenate(outs) if outs else np.zeros((0, self.num_speakers, 256))
 
+    def _tail_size(self, n_real: int) -> int:
+        q = 8
+        if self.mesh is not None:
+            data = self.mesh.shape["data"]
+            q = q * data // math.gcd(q, data)
+        return min(self.batch_size, ((n_real + q - 1) // q) * q)
+
     def dispatch(self, wave_device, starts, weights, hook=None):
         """Enqueue all batches; returns one device-side concat (no host
         sync). See SlidingInference.dispatch for the overlap rationale."""
@@ -232,8 +239,10 @@ class EmbeddingInference:
             wb = weights[b0 : b0 + self.batch_size]
             n_real = len(sb)
             if n_real < self.batch_size:
-                sb = np.pad(sb, (0, self.batch_size - n_real))
-                wb = np.pad(wb, ((0, self.batch_size - n_real), (0, 0), (0, 0)))
+                # right-size the tail batch (see SlidingInference.dispatch)
+                padded = self._tail_size(n_real)
+                sb = np.pad(sb, (0, padded - n_real))
+                wb = np.pad(wb, ((0, padded - n_real), (0, 0), (0, 0)))
             out = self._fwd(wave_device, jnp.asarray(sb, jnp.int32), jnp.asarray(wb))
             pending.append((out, n_real))
             if hook is not None:

@@ -115,6 +115,15 @@ class SlidingInference:
             self._params, self._state, wave, starts, soft
         )
 
+    def _tail_size(self, n_real: int) -> int:
+        """Smallest multiple of max(8, data-axis) >= n_real, capped at
+        batch_size — the compiled shape for a partial last batch."""
+        q = 8
+        if self.mesh is not None:
+            data = self.mesh.shape["data"]
+            q = q * data // math.gcd(q, data)
+        return min(self.batch_size, ((n_real + q - 1) // q) * q)
+
     def dispatch(self, wave_device, starts, soft: bool, hook=None):
         """Enqueue all batches (async dispatch — returns ONE device-side
         concat, no host sync). Collect later with `collect`; splitting the
@@ -125,8 +134,14 @@ class SlidingInference:
         for b0 in range(0, total, self.batch_size):
             batch_starts = starts[b0 : b0 + self.batch_size]
             n_real = len(batch_starts)
-            if n_real < self.batch_size:  # pad to the compiled batch shape
-                batch_starts = np.pad(batch_starts, (0, self.batch_size - n_real))
+            if n_real < self.batch_size:
+                # right-size the tail batch: pad only to a multiple of 8 (or
+                # the data-mesh axis), not the full batch — a 13-chunk tail
+                # padded to 32 wastes ~13% of a 120 s file's compute; tail
+                # shapes are drawn from a small set so the extra compiles are
+                # bounded and persistently cached
+                padded = self._tail_size(n_real)
+                batch_starts = np.pad(batch_starts, (0, padded - n_real))
             out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
             pending.append((out, n_real))
             if hook is not None:
