@@ -16,6 +16,7 @@ pretrained and frozen in every reference recipe.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -34,6 +35,12 @@ class ResNetConfig:
     feat_dim: int = 80
     embed_dim: int = 256
     two_emb_layer: bool = False
+    # Lane-packed stem: run conv1/layer1 at p=4 and layer2 at p=2 packed
+    # time-positions per 128-lane register (see _packed_conv). Math-identical
+    # to the plain path (same MAC set, XLA f32 re-association only); ~3x
+    # faster on TPU where C=32/64 channel dims waste MXU lanes and pad HBM
+    # tiles. Disable for debugging only.
+    packed_stem: bool = True
 
     @property
     def stats_dim(self) -> int:
@@ -65,14 +72,154 @@ def _bn(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return x * scale + bias
 
 
-def _basic_block(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+def _basic_block(p: Params, x: jnp.ndarray, stride: int, mask=None) -> jnp.ndarray:
     out = jax.nn.relu(_bn(p["bn1"], _conv2d(p["conv1"], x, stride=stride)))
+    if mask is not None:
+        out = out * mask.astype(out.dtype)
     out = _bn(p["bn2"], _conv2d(p["conv2"], out))
     if "shortcut_conv" in p:
         sc = _bn(p["shortcut_bn"], _conv2d(p["shortcut_conv"], x, stride=stride, padding=0))
     else:
         sc = x
     return jax.nn.relu(out + sc)
+
+
+# ---------------------------------------------------------------------------
+# Lane-packed stem.
+#
+# TPU vector registers are (8, 128): an NHWC array with C=32 is physically
+# lane-padded 32 -> 128 by XLA (4x wasted HBM tiles and MXU lanes), which is
+# why the early ResNet layers measure ~6 TF/s while the same conv at C=128
+# measures ~131 TF/s on the same chip (tools/probe_conv128.py). Fix: keep
+# the stem in a packed layout (B, H, W/p, p*C) — a pure row-major reshape of
+# (B, H, W, C) since W is immediately major to C — and convolve with a
+# block-Toeplitz kernel holding p shifted copies of the 3x3 weights. Same
+# MAC set as the plain conv (plus structured zeros), full lane utilization.
+#
+# p_in == stride * p_out for every conv in the stem, so one packed group of
+# the input maps to exactly one packed group of the output and the conv over
+# groups always has stride 1 along W (H keeps its native stride).
+
+
+@functools.lru_cache(maxsize=None)
+def _toeplitz_sel(kw: int, p_in: int, p_out: int, stride: int):
+    """0/1 scatter tensor (G, p_in, p_out, kw) + W-axis group padding.
+
+    sel[g, s, j, dw] = 1 iff packed output slot j's tap dw reads packed
+    input slot s of group offset g (relative to the output group).
+    """
+    pad = (kw - 1) // 2
+    taps = [(j, dw) for j in range(p_out) for dw in range(kw)]
+    gs = [(stride * j + dw - pad) // p_in for j, dw in taps]
+    lo, hi = min(gs), max(gs)
+    sel = np.zeros((hi - lo + 1, p_in, p_out, kw), np.float32)
+    for (j, dw), g in zip(taps, gs):
+        s = (stride * j + dw - pad) - g * p_in
+        sel[g - lo, s, j, dw] = 1.0
+    return sel, -lo, hi
+
+
+def _packed_conv(
+    x4: jnp.ndarray, w: jnp.ndarray, p_in: int, p_out: int, stride: int
+) -> jnp.ndarray:
+    """Packed conv: x4 (B, H, W', p_in*Cin) -> (B, H/stride, W', p_out*Cout).
+
+    w is the PLAIN (kh, kw, Cin, Cout) kernel; the block-Toeplitz packed
+    kernel is built in-graph (tiny einsum with a constant 0/1 tensor, so the
+    param pytree and checkpoint converters are untouched).
+    """
+    kh, kw, ci, co = w.shape
+    sel, pad_lo, pad_hi = _toeplitz_sel(kw, p_in, p_out, stride)
+    wp = jnp.einsum("gsjd,hdio->hgsijo", jnp.asarray(sel, w.dtype), w)
+    wp = wp.reshape(kh, sel.shape[0], p_in * ci, p_out * co)
+    pad_h = (kh - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x4,
+        wp.astype(x4.dtype),
+        (stride, 1),
+        [(pad_h, pad_h), (pad_lo, pad_hi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _bn_packed(p: Params, x4: jnp.ndarray, p_out: int) -> jnp.ndarray:
+    if p_out == 1:
+        return _bn(p, x4)
+    return _bn({k: jnp.tile(v, p_out) for k, v in p.items()}, x4)
+
+
+def _tail_mask(groups: int, p: int, c: int, valid: int) -> Optional[jnp.ndarray]:
+    """Lane mask zeroing packed time-positions >= valid (conv pad-0 parity:
+    a plain conv's window past the true width reads zero padding, so any
+    tail garbage — BN bias after ReLU — must be re-zeroed before the next
+    conv consumes it)."""
+    if valid >= groups * p:
+        return None
+    m = (np.arange(groups * p) < valid).astype(np.float32)
+    m = np.repeat(m.reshape(groups, p, 1), c, axis=2).reshape(groups, p * c)
+    return jnp.asarray(m)
+
+
+def _apply_mask(x4: jnp.ndarray, m: Optional[jnp.ndarray]) -> jnp.ndarray:
+    return x4 if m is None else x4 * m.astype(x4.dtype)
+
+
+def _packed_block(
+    p: Params, x4: jnp.ndarray, p_in: int, p_out: int, mask_out
+) -> jnp.ndarray:
+    """Basic block in packed space. stride = p_in // p_out (1 when p_in ==
+    p_out, else the entry block's 2). mask_out re-zeroes tail positions at
+    the block's output width."""
+    stride = p_in // p_out
+    out = jax.nn.relu(_bn_packed(p["bn1"], _packed_conv(x4, p["conv1"]["w"], p_in, p_out, stride), p_out))
+    out = _apply_mask(out, mask_out)
+    out = _bn_packed(p["bn2"], _packed_conv(out, p["conv2"]["w"], p_out, p_out, 1), p_out)
+    if "shortcut_conv" in p:
+        sc = _bn_packed(
+            p["shortcut_bn"], _packed_conv(x4, p["shortcut_conv"]["w"], p_in, p_out, stride), p_out
+        )
+    else:
+        sc = x4
+    return _apply_mask(jax.nn.relu(out + sc), mask_out)
+
+
+def _packed_stem(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """conv1 + layer1 (p=4) + layer2 (p=2) + layer3/4 (native) on
+    (B, H, T, 1) fbank images; returns (B, H/8, ceil(T/2/2/2), C*8) with
+    tail columns past the true output width zeroed-equivalent (they are
+    sliced by the caller before pooling)."""
+    b, h, t, _ = x.shape
+    c = 32  # m_channels — packed path requires 4*c == 128
+    t4 = -(-t // 4) * 4
+    if t4 != t:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, t4 - t), (0, 0)))
+    x4 = x.reshape(b, h, t4 // 4, 4)
+
+    # conv1: Cin=1 image is just a p_in=4 packed conv with ci=1
+    m1 = _tail_mask(t4 // 4, 4, c, t)
+    x4 = jax.nn.relu(_bn_packed(params["bn1"], _packed_conv(x4, params["conv1"]["w"], 4, 4, 1), 4))
+    x4 = _apply_mask(x4, m1)
+    for bp in params["layer1"]:
+        x4 = _packed_block(bp, x4, 4, 4, m1)
+
+    v2 = -(-t // 2)  # valid width after the stride-2 entry conv
+    m2 = _tail_mask(t4 // 4, 2, 2 * c, v2)
+    x4 = _packed_block(params["layer2"][0], x4, 4, 2, m2)
+    for bp in params["layer2"][1:]:
+        x4 = _packed_block(bp, x4, 2, 2, m2)
+
+    v3 = -(-v2 // 2)
+    m3 = _tail_mask(t4 // 4, 1, 4 * c, v3)
+    x = _packed_block(params["layer3"][0], x4, 2, 1, m3)  # native from here
+    for bp in params["layer3"][1:]:
+        x = _apply_mask(_basic_block(bp, x, 1, mask=m3), m3)
+
+    v4 = -(-v3 // 2)
+    m4 = _tail_mask(-(-(t4 // 4) // 2), 1, 8 * c, v4)
+    x = _apply_mask(_basic_block(params["layer4"][0], x, 2, mask=m4), m4)
+    for bp in params["layer4"][1:]:
+        x = _apply_mask(_basic_block(bp, x, 1, mask=m4), m4)
+    return x[:, :, :v4]
 
 
 def stats_pool(
@@ -121,11 +268,14 @@ def resnet_forward(
     """(B, T, F=80) fbank [+ optional (B, T') or (B, S, T') weights] ->
     (B, embed) or (B, S, embed) speaker embeddings."""
     x = jnp.transpose(fbank, (0, 2, 1))[..., None]  # (B, F, T, 1)
-    x = jax.nn.relu(_bn(params["bn1"], _conv2d(params["conv1"], x)))
-    for li, blocks in enumerate([params["layer1"], params["layer2"], params["layer3"], params["layer4"]]):
-        for bi, bp in enumerate(blocks):
-            stride = 2 if (li > 0 and bi == 0) else 1
-            x = _basic_block(bp, x, stride)
+    if cfg.packed_stem and cfg.m_channels == 32:
+        x = _packed_stem(params, x)
+    else:
+        x = jax.nn.relu(_bn(params["bn1"], _conv2d(params["conv1"], x)))
+        for li, blocks in enumerate([params["layer1"], params["layer2"], params["layer3"], params["layer4"]]):
+            for bi, bp in enumerate(blocks):
+                stride = 2 if (li > 0 and bi == 0) else 1
+                x = _basic_block(bp, x, stride)
     # (B, F/8, T/8, C) -> (B, D = C * F/8, T/8) matching torch
     # rearrange 'batch dimension channel frames' where torch layout is NCHW
     # (B, C, F/8, T/8) -> (B, (F/8 * C)? ) — torch TSTP rearranges
