@@ -105,13 +105,11 @@ def eend_forward(
         waveforms = waveforms[:, cfg.selected_channel, :]
 
     wavlm_rng = jax.random.fold_in(rng, 0) if rng is not None else None
-    hidden = wavlm_extract_features(
+    feat = wavlm_extract_features(
         params["wavlm"], cfg.wavlm, waveforms,
         train=train, rng=wavlm_rng, compute_dtype=compute_dtype,
-    )  # list of (B, F, D)
-    feat = jnp.stack(hidden, axis=-1)  # (B, F, D, L)
-    w = params["weight_sum"].astype(feat.dtype)
-    feat = jnp.einsum("bfdl,l->bfd", feat, w, preferred_element_type=jnp.float32)
+        layer_weights=params["weight_sum"],  # fused in-loop (B, F, D) f32
+    )
     feat = feat.astype(compute_dtype)
 
     x = linear(params["proj"], feat)

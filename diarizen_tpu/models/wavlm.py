@@ -539,12 +539,17 @@ def wavlm_extract_features(
     compute_dtype=jnp.float32,
     feature_grad_mult: float = 0.1,
     gates=None,
+    layer_weights: Optional[jnp.ndarray] = None,
 ) -> List[jnp.ndarray]:
     """(B, num_samples) -> list of num_layers+1 hidden states (B, F, D).
 
     Mirrors reference `Wav2Vec2Model.extract_features` (model.py:67-119):
     waveform layer-norm (Large), conv front-end, GradMultiply, projection,
     pos-conv, per-layer intermediate collection.
+
+    `layer_weights` (num_layers+1,) switches to the fused weighted-sum mode:
+    returns a single f32 (B, F, D) tensor == einsum("bfdl,l->bfd",
+    stack(hidden, -1), layer_weights) without materializing the stack.
     """
     if cfg.num_frames(waveforms.shape[-1]) < 1:
         raise ValueError(
@@ -579,6 +584,14 @@ def wavlm_extract_features(
     position_bias = compute_position_bias(params, cfg, x.shape[1]).astype(jnp.float32)
 
     layer_gates = (gates or {}).get("layers")
+    if layer_weights is not None:
+        # fused weighted sum: accumulate w[l] * hidden_l inside the loop so
+        # the (B, F, D, L) stack never materializes in HBM (~1.2 ms/batch on
+        # the s80 forward, PERF.md) — math-identical to stacking then
+        # einsum'ing in f32, and the gradient w.r.t. layer_weights is the
+        # same per-layer inner product.
+        w = layer_weights.astype(jnp.float32)
+        acc = w[0] * x.astype(jnp.float32)
     hidden_states = [x]
     for i, layer in enumerate(params["layers"]):
         gate = layer_gates[i] if layer_gates is not None else None
@@ -589,7 +602,12 @@ def wavlm_extract_features(
             )
             new_x = jnp.where(keep, new_x, x)
         x = new_x
-        hidden_states.append(x)
+        if layer_weights is not None:
+            acc = acc + w[i + 1] * x.astype(jnp.float32)
+        else:
+            hidden_states.append(x)
+    if layer_weights is not None:
+        return acc
     return hidden_states
 
 
