@@ -242,7 +242,14 @@ class EmbeddingInference:
                 # right-size the tail batch (see SlidingInference.dispatch)
                 padded = self._tail_size(n_real)
                 sb = np.pad(sb, (0, padded - n_real))
-                wb = np.pad(wb, ((0, padded - n_real), (0, 0), (0, 0)))
+                pad_spec = ((0, padded - n_real), (0, 0), (0, 0))
+                # weights may live on device already (fused stitch path) —
+                # pad there, no host sync
+                wb = (
+                    jnp.pad(wb, pad_spec)
+                    if isinstance(wb, jnp.ndarray)
+                    else np.pad(wb, pad_spec)
+                )
             out = self._fwd(wave_device, jnp.asarray(sb, jnp.int32), jnp.asarray(wb))
             pending.append((out, n_real))
             if hook is not None:
@@ -280,6 +287,14 @@ class DiarizationPipeline:
     apply_median_filtering: bool = True
     embedding_exclude_overlap: bool = True
     segmentation_step: float = 0.1  # ratio of duration
+    # Fused device stitching (infer/fused.py): median filter + speaker
+    # count + embedding weights run ON DEVICE between the two model stages,
+    # so a file's whole device chain dispatches with zero host syncs and
+    # ONE merged fetch. Bit-identical to the host stages (tests/
+    # test_fused_stitch.py); auto-disabled for meshes/multi-host where the
+    # window-sharding path owns the data movement.
+    fused_stitch: bool = True
+    _fused: object = field(default=None, init=False, repr=False)
 
     def __call__(
         self,
@@ -302,6 +317,17 @@ class DiarizationPipeline:
         # segmentation compute on the axon tunnel; sharing it with the
         # embedding stage halves the pipeline's h2d bytes)
         prepared = self.seg_inference.prepare_wave(waveform)
+
+        st = self._try_dispatch_fused(waveform, prepared, uri, hook)
+        if st is not None:
+            try:
+                return self._finish_fused(st, num_speakers, hook)
+            except Exception as e:  # noqa: BLE001 — OOM falls back to the
+                # host path (which carries its own batch-halving retry)
+                from diarizen_tpu.utils import is_oom_error
+
+                if not is_oom_error(e):
+                    raise
 
         segmentations = self.seg_inference(
             waveform, sample_rate, soft=False, hook=hook, prepared=prepared
@@ -335,7 +361,7 @@ class DiarizationPipeline:
         uri_iter = iter(uris) if uris is not None else repeat(None)
         prev = None
         for waveform in waveforms:
-            if prev is not None:
+            if prev is not None and "fused_buf" not in prev:
                 # collect file i's segmentation FIRST (its d2h is queued
                 # directly behind its own execs, not behind file i+1's), THEN
                 # enqueue file i+1's segmentation so the device stays busy
@@ -355,6 +381,9 @@ class DiarizationPipeline:
         assert (sample_rate or self.seg_inference.sample_rate) == \
             self.seg_inference.sample_rate, "resample before inference"
         prepared = self.seg_inference.prepare_wave(waveform)
+        st = self._try_dispatch_fused(waveform, prepared, uri, hook)
+        if st is not None:
+            return st
         seg_dev = self.seg_inference.dispatch(
             prepared[0], prepared[1], soft=False, hook=hook
         )
@@ -362,6 +391,97 @@ class DiarizationPipeline:
             "waveform": waveform, "uri": uri,
             "prepared": prepared, "seg_dev": seg_dev,
         }
+
+    # ---- fused device-stitch path (infer/fused.py) --------------------
+
+    def _use_fused(self) -> bool:
+        if not self.fused_stitch:
+            return False
+        # duck-typed custom embedders (tests, alternative backends) may lack
+        # the dispatch/mesh interface the fused chain needs
+        for inf in (self.seg_inference, self.emb_inference):
+            if not hasattr(inf, "dispatch"):
+                return False
+            if getattr(inf, "mesh", None) is not None:
+                return False  # window-sharding path owns data movement
+        import jax as _jax
+
+        return _jax.process_count() == 1
+
+    def _get_fused(self):
+        if self._fused is None:
+            from diarizen_tpu.infer.fused import make_fused_stitch
+
+            self._fused = make_fused_stitch(
+                self.eend_cfg,
+                self.seg_inference.window_size,
+                self.seg_inference.duration,
+                self.seg_inference.step,
+                self.emb_inference.num_speakers,
+                self.emb_inference.min_num_samples,
+                apply_median_filtering=self.apply_median_filtering,
+                exclude_overlap=self.embedding_exclude_overlap,
+            )
+        return self._fused
+
+    def _try_dispatch_fused(self, waveform, prepared, uri, hook):
+        """Dispatch the file's WHOLE device chain (segmentation -> stitch ->
+        embeddings -> merged transport buffer) with no host sync; returns
+        the stream-state dict, or None when the fused path doesn't apply."""
+        if not self._use_fused():
+            return None
+        wave_device, starts = prepared
+        fs = self._get_fused()
+        plan = fs.plan(len(starts))
+        if plan is None:
+            return None
+        try:
+            seg_dev = self.seg_inference.dispatch(
+                wave_device, starts, soft=False, hook=hook
+            )
+            if seg_dev is None or seg_dev.dtype != jnp.uint8:
+                return None  # empty file / soft scores -> host path
+            packed, counts, weights = fs.stitch(seg_dev, plan)
+            emb_dev = self.emb_inference.dispatch(
+                wave_device, starts[: plan["n_true"]], weights, hook=hook
+            )
+            buf = fs.merge(packed, counts, emb_dev)
+        except Exception as e:  # noqa: BLE001 — OOM -> host path w/ backoff
+            from diarizen_tpu.utils import is_oom_error
+
+            if not is_oom_error(e):
+                raise
+            return None
+        return {
+            "waveform": waveform, "uri": uri, "prepared": prepared,
+            "fused_buf": buf, "fused_plan": plan,
+            "emb_shape": tuple(emb_dev.shape),
+        }
+
+    def _finish_fused(self, st, num_speakers, hook) -> Annotation:
+        fs = self._get_fused()
+        plan = st["fused_plan"]
+        buf = np.asarray(st["fused_buf"])  # THE one host sync per file
+        binary, count_data, embeddings = fs.split(buf, plan, st["emb_shape"])
+
+        chunks = SlidingWindow(
+            start=0.0,
+            duration=self.seg_inference.duration,
+            step=self.seg_inference.step,
+        )
+        segmentations = SlidingWindowFeature(binary, chunks)
+        if hook is not None:
+            hook("segmentation", segmentations)
+        count = SlidingWindowFeature(count_data, fs.out_frames)
+        if hook is not None:
+            hook("speaker_counting", count)
+
+        ann = Annotation(uri=st["uri"])
+        if count.data.size == 0 or np.nanmax(count.data) == 0:
+            return ann  # no speech (speaker_diarization.py:503-509)
+        return self._cluster_and_reconstruct(
+            segmentations, count, embeddings, st["uri"], num_speakers, hook
+        )
 
     def _collect_segmentations(self, st, hook):
         try:
@@ -378,6 +498,22 @@ class DiarizationPipeline:
             )
 
     def _finish_file(self, st, num_speakers, hook):
+        if "fused_buf" in st:
+            try:
+                return self._finish_fused(st, num_speakers, hook)
+            except Exception as e:  # noqa: BLE001 — OOM -> host re-run
+                from diarizen_tpu.utils import is_oom_error
+
+                if not is_oom_error(e):
+                    raise
+                segmentations = self.seg_inference(
+                    st["waveform"], soft=False, hook=hook,
+                    prepared=st["prepared"],
+                )
+                return self._finish_from_segmentations(
+                    st["waveform"], st["prepared"], segmentations,
+                    st["uri"], num_speakers, hook,
+                )
         segmentations = st.get("segmentations")
         if segmentations is None:
             segmentations = self._collect_segmentations(st, hook)
@@ -409,6 +545,17 @@ class DiarizationPipeline:
         embeddings = self.get_embeddings(
             waveform[0], binarized, hook=hook, prepared=prepared
         )
+        return self._cluster_and_reconstruct(
+            segmentations, count, embeddings, uri, num_speakers, hook
+        )
+
+    def _cluster_and_reconstruct(
+        self, segmentations, count, embeddings, uri, num_speakers, hook
+    ) -> Annotation:
+        """Stages 6-7 (clustering -> reconstruct -> binarize -> Annotation),
+        shared by the host and fused paths. `segmentations` is the
+        median-filtered binarized (chunks, frames, S) feature."""
+        binarized = segmentations
         if hook is not None:
             hook("embeddings", embeddings)
 
