@@ -20,52 +20,63 @@ from diarizen_tpu.core.segments import Segment
 
 
 def read_wav(
-    path: str | Path,
+    path,
     start_frame: int = 0,
     num_frames: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """Read a WAV file (any PCM width or IEEE float) into float32 in [-1, 1].
 
+    `path` may be a filesystem path or a seekable binary file-like object
+    (the reference `Audio` accepts both, core/io.py:213-266).
     Returns (waveform [channels, samples], sample_rate).
     """
+    if hasattr(path, "read"):
+        path.seek(0)
+        return _read_wav_stream(path, "<file-like>", start_frame, num_frames)
     with open(path, "rb") as fh:
-        header = fh.read(12)
-        if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
-            raise ValueError(f"{path}: not a RIFF/WAVE file")
-        fmt = None
-        data_offset = None
-        data_size = None
-        while True:
-            chunk_header = fh.read(8)
-            if len(chunk_header) < 8:
-                break
-            chunk_id = chunk_header[:4]
-            chunk_size = int.from_bytes(chunk_header[4:8], "little")
-            if chunk_id == b"fmt ":
-                fmt_bytes = fh.read(chunk_size)
-                audio_format = int.from_bytes(fmt_bytes[0:2], "little")
-                channels = int.from_bytes(fmt_bytes[2:4], "little")
-                sample_rate = int.from_bytes(fmt_bytes[4:8], "little")
-                bits = int.from_bytes(fmt_bytes[14:16], "little")
-                if audio_format == 0xFFFE and chunk_size >= 40:  # extensible
-                    audio_format = int.from_bytes(fmt_bytes[24:26], "little")
-                fmt = (audio_format, channels, sample_rate, bits)
-            elif chunk_id == b"data":
-                data_offset = fh.tell()
-                data_size = chunk_size
-                fh.seek(chunk_size + (chunk_size & 1), 1)
-            else:
-                fh.seek(chunk_size + (chunk_size & 1), 1)
-        if fmt is None or data_offset is None:
-            raise ValueError(f"{path}: missing fmt/data chunk")
-        audio_format, channels, sample_rate, bits = fmt
-        bytes_per_frame = channels * bits // 8
-        total_frames = data_size // bytes_per_frame
-        if num_frames is None:
-            num_frames = total_frames - start_frame
-        num_frames = max(0, min(num_frames, total_frames - start_frame))
-        fh.seek(data_offset + start_frame * bytes_per_frame)
-        raw = fh.read(num_frames * bytes_per_frame)
+        return _read_wav_stream(fh, str(path), start_frame, num_frames)
+
+
+def _read_wav_stream(
+    fh, name: str, start_frame: int, num_frames: Optional[int]
+) -> Tuple[np.ndarray, int]:
+    header = fh.read(12)
+    if header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        raise ValueError(f"{name}: not a RIFF/WAVE file")
+    fmt = None
+    data_offset = None
+    data_size = None
+    while True:
+        chunk_header = fh.read(8)
+        if len(chunk_header) < 8:
+            break
+        chunk_id = chunk_header[:4]
+        chunk_size = int.from_bytes(chunk_header[4:8], "little")
+        if chunk_id == b"fmt ":
+            fmt_bytes = fh.read(chunk_size)
+            audio_format = int.from_bytes(fmt_bytes[0:2], "little")
+            channels = int.from_bytes(fmt_bytes[2:4], "little")
+            sample_rate = int.from_bytes(fmt_bytes[4:8], "little")
+            bits = int.from_bytes(fmt_bytes[14:16], "little")
+            if audio_format == 0xFFFE and chunk_size >= 40:  # extensible
+                audio_format = int.from_bytes(fmt_bytes[24:26], "little")
+            fmt = (audio_format, channels, sample_rate, bits)
+        elif chunk_id == b"data":
+            data_offset = fh.tell()
+            data_size = chunk_size
+            fh.seek(chunk_size + (chunk_size & 1), 1)
+        else:
+            fh.seek(chunk_size + (chunk_size & 1), 1)
+    if fmt is None or data_offset is None:
+        raise ValueError(f"{name}: missing fmt/data chunk")
+    audio_format, channels, sample_rate, bits = fmt
+    bytes_per_frame = channels * bits // 8
+    total_frames = data_size // bytes_per_frame
+    if num_frames is None:
+        num_frames = total_frames - start_frame
+    num_frames = max(0, min(num_frames, total_frames - start_frame))
+    fh.seek(data_offset + start_frame * bytes_per_frame)
+    raw = fh.read(num_frames * bytes_per_frame)
 
     if audio_format == 3:  # IEEE float
         dtype = np.float32 if bits == 32 else np.float64
@@ -97,18 +108,21 @@ def read_wav(
 
 
 def read_audio(
-    path: str | Path,
+    path,
     start_frame: int = 0,
     num_frames: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """Read any audio file into float32 (channels, samples).
 
-    WAV decodes natively (read_wav). Other formats (flac/mp3/ogg — the
-    reference `Audio` handles these through torchaudio, core/io.py:436) fall
-    back to `soundfile` when installed; this image ships without it, so
-    non-WAV raises an actionable error. AMI/DIHARD/VoxConverse distributions
-    are WAV, so the native path covers the benchmark corpora.
+    WAV decodes natively (read_wav; filesystem path or seekable file-like
+    object). Other formats (flac/mp3/ogg — the reference `Audio` handles
+    these through torchaudio, core/io.py:436) fall back to `soundfile` when
+    installed; this image ships without it, so non-WAV raises an actionable
+    error. AMI/DIHARD/VoxConverse distributions are WAV, so the native path
+    covers the benchmark corpora.
     """
+    if hasattr(path, "read"):
+        return read_wav(path, start_frame=start_frame, num_frames=num_frames)
     p = Path(path)
     if p.suffix.lower() in (".wav", ".wave"):
         return read_wav(p, start_frame=start_frame, num_frames=num_frames)
@@ -128,8 +142,12 @@ def read_audio(
     return np.ascontiguousarray(data.T), sr
 
 
-def get_wav_info(path: str | Path) -> Tuple[int, int, int]:
+def get_wav_info(path) -> Tuple[int, int, int]:
     """(num_samples, sample_rate, num_channels) without reading the payload."""
+    if hasattr(path, "read"):
+        path.seek(0)
+        with wave.open(path, "rb") as w:
+            return w.getnframes(), w.getframerate(), w.getnchannels()
     with wave.open(str(path), "rb") as w:
         return w.getnframes(), w.getframerate(), w.getnchannels()
 
@@ -159,21 +177,29 @@ def resample(waveform: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 class Audio:
     """File loader with resample + downmix + padded crop.
 
-    mono: None keeps all channels; "downmix" averages channels.
+    mono: None keeps all channels; "downmix" averages channels; "random"
+    picks one channel at random (training-time augmentation, reference
+    core/io.py:278-286 — deterministic under `rng`).
     Reference: pyannote-audio core/io.py Audio(sample_rate, mono).
     """
 
     sample_rate: int = 16000
     mono: Optional[str] = "downmix"
+    rng: Optional[np.random.Generator] = None
 
     def _post(self, waveform: np.ndarray, sr: int) -> np.ndarray:
-        if self.mono == "downmix" and waveform.shape[0] > 1:
-            waveform = waveform.mean(axis=0, keepdims=True)
+        if waveform.shape[0] > 1:
+            if self.mono == "downmix":
+                waveform = waveform.mean(axis=0, keepdims=True)
+            elif self.mono == "random":
+                rng = self.rng if self.rng is not None else np.random.default_rng()
+                ch = int(rng.integers(waveform.shape[0]))
+                waveform = waveform[ch : ch + 1]
         if sr != self.sample_rate:
             waveform = resample(waveform, sr, self.sample_rate)
         return waveform.astype(np.float32)
 
-    def __call__(self, path: str | Path) -> Tuple[np.ndarray, int]:
+    def __call__(self, path) -> Tuple[np.ndarray, int]:
         waveform, sr = read_audio(path)
         return self._post(waveform, sr), self.sample_rate
 

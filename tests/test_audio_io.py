@@ -103,3 +103,39 @@ def test_rttm_uem_scp_io(tmp_path):
     scp = tmp_path / "wav.scp"
     scp.write_text("rec1 /path/to/rec1.wav\n")
     assert load_scp(scp) == {"rec1": "/path/to/rec1.wav"}
+
+
+def test_file_like_and_random_channel(tmp_path):
+    """read_wav/read_audio accept seekable binary file-like objects and
+    Audio(mono='random') picks one channel deterministically under rng
+    (reference core/io.py:213-286)."""
+    import io
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 220 * t), np.sin(2 * np.pi * 440 * t)]
+    ).astype(np.float32)
+    path = tmp_path / "st.wav"
+    write_wav(path, stereo, sr)
+
+    buf = io.BytesIO(path.read_bytes())
+    w1, sr1 = read_wav(buf)
+    w2, sr2 = read_wav(path)
+    assert sr1 == sr2 == sr
+    np.testing.assert_array_equal(w1, w2)
+
+    buf.seek(0)
+    w3, _ = read_audio(buf)
+    np.testing.assert_array_equal(w3, w2)
+
+    # segment reads work on file-likes too
+    w4, _ = read_wav(io.BytesIO(path.read_bytes()), start_frame=100, num_frames=50)
+    np.testing.assert_array_equal(w4, w2[:, 100:150])
+
+    audio = Audio(sample_rate=sr, mono="random", rng=np.random.default_rng(0))
+    picked, _ = audio(path)
+    assert picked.shape == (1, sr)
+    assert any(
+        np.allclose(picked[0], w2[c], atol=2e-4) for c in range(2)
+    )
