@@ -28,6 +28,7 @@ import optax
 
 from diarizen_tpu.models.wavlm import WavLMConfig, wavlm_extract_features
 from diarizen_tpu.prune.gates import expected_num_params, sample_gates
+from diarizen_tpu.train.step import fast_dropout_rng
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,7 +128,7 @@ def make_distill_prune_step(
         return dcfg.target_sparsity * frac
 
     def step_fn(state: DistillPruneState, waveforms: jnp.ndarray, rng: jax.Array):
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = fast_dropout_rng(jax.random.fold_in(rng, state.step))
 
         # teacher forward (frozen, no masks)
         teacher_hidden = wavlm_extract_features(

@@ -25,6 +25,27 @@ from diarizen_tpu.models.forward import segmentation_forward
 from diarizen_tpu.train.loss import der_metrics, segmentation_loss
 
 
+def fast_dropout_rng(rng: Optional[jax.Array]) -> Optional[jax.Array]:
+    """Rebase a PRNG key onto the TPU hardware bit generator (unsafe_rbg).
+
+    Dropout mask generation is the key consumer of random bits in a train
+    step (~13 x (B, F, D) masks); with the default threefry impl those bits
+    cost ~18 ms/step on v5e for WavLM-Base batch 32 x 8 s — measured 204 ->
+    173 ms fwd+bwd after rebasing (PERF.md). RBG statistical quality is
+    ample for dropout; streams stay deterministic per (key, shape) on a
+    given backend, which is all training reproducibility needs.
+    """
+    if rng is None:
+        return None
+    data = (
+        jax.random.key_data(rng)
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key)
+        else rng
+    )
+    data = jnp.concatenate([data.reshape(-1)] * 2)[:4].astype(jnp.uint32)
+    return jax.random.wrap_key_data(data, impl="unsafe_rbg")
+
+
 class TrainState(NamedTuple):
     params: Any
     model_state: Any  # BatchNorm running stats
@@ -55,7 +76,7 @@ def make_train_step(
     fwd = segmentation_forward(cfg)
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = fast_dropout_rng(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
             scores, new_ms = fwd(
@@ -108,7 +129,7 @@ def make_mc_train_step(
     powerset = cfg.powerset
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array, num_channels: int):
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = fast_dropout_rng(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
             scores, _att, new_ms = eend_mc_forward(
