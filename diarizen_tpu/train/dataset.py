@@ -173,9 +173,17 @@ def collate(batch, max_speakers_per_chunk: int = 4) -> Dict[str, np.ndarray]:
         xs.append(x)
         ys.append(y)
         names.append(name)
+    waves = np.stack(xs).astype(np.float32)
+    # compact transport (decoded on device by train/step.py:decode_batch):
+    # PCM-sourced audio ships as int16 — bit-exact x/2^15 reconstruction,
+    # half the host->device bytes of the train loop's dominant transfer —
+    # and the binary rasterized targets as uint8
+    scaled = waves * 32768.0
+    if np.all(np.abs(scaled) <= 32767.0) and np.array_equal(scaled, np.rint(scaled)):
+        waves = scaled.astype(np.int16)
     return {
-        "xs": np.stack(xs).astype(np.float32),
-        "target": np.stack(ys).astype(np.float32),
+        "xs": waves,
+        "target": np.stack(ys).astype(np.uint8),
         "names": names,
     }
 

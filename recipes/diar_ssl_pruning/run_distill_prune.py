@@ -111,6 +111,8 @@ def run(config: dict, exp_dir: Path, further_distill: bool = False) -> None:
         losses = []
         for batch in loader:
             xs = batch["xs"][:, 0, :]  # SDM channel
+            if xs.dtype == np.int16:  # compact transport (train/step.py)
+                xs = xs.astype(np.float32) / 32768.0
             state, metrics = step(state, jnp.asarray(xs), rng)
             losses.append(float(metrics["loss"]))
         record = {
