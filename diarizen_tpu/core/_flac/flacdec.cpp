@@ -274,7 +274,12 @@ int flac_decode(const uint8_t* data, int64_t size, int32_t** out_ptr,
   while (br.pos < br.n) {
     size_t frame_start = br.pos;
     if (br.n - br.pos < 2) break;  // trailing garbage smaller than a sync code
-    if (br.bits(14) != 0x3FFE) return -3;
+    if (br.bits(14) != 0x3FFE) {
+      // Trailing non-frame data (ID3v1 tag, padding) after at least one
+      // decoded frame ends the stream — libFLAC/ffmpeg tolerate this too.
+      if (!out.empty()) break;
+      return -3;
+    }
     br.bits(1);                          // reserved
     br.bits(1);                          // blocking strategy
     uint32_t bs_code = br.bits(4);

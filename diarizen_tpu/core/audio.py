@@ -115,23 +115,34 @@ def read_audio(
     """Read any audio file into float32 (channels, samples).
 
     WAV decodes natively (read_wav; filesystem path or seekable file-like
-    object). Other formats (flac/mp3/ogg — the reference `Audio` handles
-    these through torchaudio, core/io.py:436) fall back to `soundfile` when
-    installed; this image ships without it, so non-WAV raises an actionable
-    error. AMI/DIHARD/VoxConverse distributions are WAV, so the native path
-    covers the benchmark corpora.
+    object); FLAC through the native C++ decoder (core/flac.py) — together
+    these cover the formats meeting corpora ship in. Other formats (mp3/ogg
+    — the reference `Audio` handles these through torchaudio, core/io.py:436)
+    fall back to `soundfile` when installed; this image ships without it, so
+    they raise an actionable error.
     """
     if hasattr(path, "read"):
+        path.seek(0)
+        magic = path.read(4)
+        path.seek(0)
+        if magic == b"fLaC":
+            from diarizen_tpu.core.flac import read_flac
+
+            return read_flac(path, start_frame=start_frame, num_frames=num_frames)
         return read_wav(path, start_frame=start_frame, num_frames=num_frames)
     p = Path(path)
     if p.suffix.lower() in (".wav", ".wave"):
         return read_wav(p, start_frame=start_frame, num_frames=num_frames)
+    if p.suffix.lower() == ".flac":
+        from diarizen_tpu.core.flac import read_flac
+
+        return read_flac(p, start_frame=start_frame, num_frames=num_frames)
     try:
         import soundfile  # optional — not in the base image
     except ImportError:
         raise ValueError(
-            f"{p}: only WAV is decoded natively; install `soundfile` for "
-            f"{p.suffix} support, or convert to WAV "
+            f"{p}: only WAV/FLAC are decoded natively; install `soundfile` "
+            f"for {p.suffix} support, or convert to WAV "
             "(ffmpeg -i in{0} out.wav)".format(p.suffix)
         ) from None
     data, sr = soundfile.read(
@@ -150,6 +161,24 @@ def get_wav_info(path) -> Tuple[int, int, int]:
             return w.getnframes(), w.getframerate(), w.getnchannels()
     with wave.open(str(path), "rb") as w:
         return w.getnframes(), w.getframerate(), w.getnchannels()
+
+
+def get_audio_info(path) -> Tuple[int, int, int]:
+    """(num_samples, sample_rate, num_channels) for WAV or FLAC, header-only."""
+    if hasattr(path, "read"):
+        path.seek(0)
+        magic = path.read(4)
+        path.seek(0)
+        if magic == b"fLaC":
+            from diarizen_tpu.core.flac import get_flac_info
+
+            return get_flac_info(path)
+        return get_wav_info(path)
+    if Path(path).suffix.lower() == ".flac":
+        from diarizen_tpu.core.flac import get_flac_info
+
+        return get_flac_info(path)
+    return get_wav_info(path)
 
 
 def write_wav(path: str | Path, waveform: np.ndarray, sample_rate: int) -> None:
@@ -204,7 +233,7 @@ class Audio:
         return self._post(waveform, sr), self.sample_rate
 
     def get_duration(self, path: str | Path) -> float:
-        n, sr, _ = get_wav_info(path)
+        n, sr, _ = get_audio_info(path)
         return n / sr
 
     def crop(
@@ -218,14 +247,14 @@ class Audio:
 
         mode="pad" zero-pads out-of-bounds regions (reference io.py crop).
         """
-        n_total, file_sr, _ = get_wav_info(path)
+        n_total, file_sr, _ = get_audio_info(path)
         start = int(round(segment.start * file_sr))
         if duration is None:
             duration = segment.duration
         num = int(round(duration * file_sr))
         read_start = max(0, start)
         read_end = min(n_total, start + num)
-        waveform, sr = read_wav(path, read_start, max(0, read_end - read_start))
+        waveform, sr = read_audio(path, read_start, max(0, read_end - read_start))
         pad_left = max(0, -start)
         pad_right = num - pad_left - waveform.shape[-1]
         if mode == "pad" and (pad_left > 0 or pad_right > 0):

@@ -135,11 +135,16 @@ def _read_all_bytes(path) -> bytes:
 
 # Decoded-waveform LRU: FLAC has no per-sample random access, so cropped reads
 # decode once per file. Keyed by (path, mtime, size); file-like objects bypass.
+# Byte-budgeted (an hour of 16 kHz mono f32 is ~230 MB — per-file LRU counts
+# would silently pin gigabytes across data-loader workers). Override with
+# DIARIZEN_FLAC_CACHE_MB=0 to disable caching entirely.
 _CACHE: "OrderedDict[tuple, Tuple[np.ndarray, int]]" = OrderedDict()
-_CACHE_MAX = 4
+_CACHE_MAX_BYTES = int(os.environ.get("DIARIZEN_FLAC_CACHE_MB", "512")) * (1 << 20)
+_CACHE_BYTES = 0
 
 
 def _decode_cached(path) -> Tuple[np.ndarray, int]:
+    global _CACHE_BYTES
     key = None
     if not hasattr(path, "read"):
         st = os.stat(path)
@@ -150,11 +155,14 @@ def _decode_cached(path) -> Tuple[np.ndarray, int]:
                 return _CACHE[key]
     x, rate, bits = decode_flac_bytes(_read_all_bytes(path))
     wave = (x.astype(np.float32) / float(1 << (bits - 1))).astype(np.float32)
-    if key is not None:
+    wave.flags.writeable = False  # callers get copies; the cache stays pristine
+    if key is not None and wave.nbytes <= _CACHE_MAX_BYTES:
         with _LOCK:
             _CACHE[key] = (wave, rate)
-            while len(_CACHE) > _CACHE_MAX:
-                _CACHE.popitem(last=False)
+            _CACHE_BYTES += wave.nbytes
+            while _CACHE_BYTES > _CACHE_MAX_BYTES and _CACHE:
+                _, (old, _r) = _CACHE.popitem(last=False)
+                _CACHE_BYTES -= old.nbytes
     return wave, rate
 
 
@@ -170,7 +178,8 @@ def read_flac(
         num_frames = total - start_frame
     start = max(0, min(start_frame, total))
     stop = max(start, min(start_frame + num_frames, total))
-    return np.ascontiguousarray(wave[:, start:stop]), rate
+    # Always copy: a full-range slice would alias the (read-only) cached array.
+    return wave[:, start:stop].copy(), rate
 
 
 def get_flac_info(path) -> Tuple[int, int, int]:

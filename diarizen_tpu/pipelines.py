@@ -21,7 +21,7 @@ import jax
 
 from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
 from diarizen_tpu.config import instantiate, load_toml
-from diarizen_tpu.core.audio import read_wav
+from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
 from diarizen_tpu.models.resnet import (
     ResNetConfig,
@@ -136,7 +136,7 @@ def diarize_file(pipeline: DiarizationPipeline, wav_path: str | Path,
     """Convenience: wav path -> Annotation (+ RTTM file when the pipeline has
     an rttm_out_dir, reference inference.py:186-192)."""
     uri = uri or Path(wav_path).stem
-    wave, sr = read_wav(wav_path)
+    wave, sr = read_audio(wav_path)
     ann = pipeline(wave, sr, uri=uri)
     out_dir = getattr(pipeline, "rttm_out_dir", None)
     if out_dir:

@@ -26,7 +26,7 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from diarizen_tpu.core.audio import read_wav
+from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.core.io_rttm import load_scp, load_uem
 
 
@@ -114,7 +114,10 @@ class DiarizationDataset:
     def _read_chunk(self, path: str, start: float, end: float, rng) -> np.ndarray:
         s0 = int(start * self.sample_rate)
         n = int(end * self.sample_rate) - s0
-        data, sr = read_wav(path, start_frame=s0, num_frames=n)
+        # read_audio dispatches WAV (random-access) or FLAC (whole-file decode
+        # behind a byte-budgeted LRU, core/flac.py — per-worker memory cost is
+        # bounded by DIARIZEN_FLAC_CACHE_MB, default 512).
+        data, sr = read_audio(path, start_frame=s0, num_frames=n)
         assert sr == self.sample_rate, f"{path}: {sr} != {self.sample_rate}"
         if data.shape[1] < n:  # pad short reads at file end
             data = np.pad(data, ((0, 0), (0, n - data.shape[1])))

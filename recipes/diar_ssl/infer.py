@@ -37,7 +37,7 @@ import numpy as np
 
 from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
 from diarizen_tpu.config import instantiate, load_toml
-from diarizen_tpu.core.audio import read_wav
+from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.core.io_rttm import load_rttm, load_scp
 from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
 from diarizen_tpu.logger import init_logging
@@ -151,7 +151,7 @@ def main():
     # (identical outputs to per-file calls; see DiarizationPipeline.stream)
     def waves():
         for _, path in items:
-            wave, sr = read_wav(path)
+            wave, sr = read_audio(path)
             assert sr == 16000, f"{path}: expected 16 kHz, got {sr}"
             yield wave
 

@@ -30,7 +30,7 @@ import numpy as np
 
 from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
 from diarizen_tpu.config import instantiate, load_toml
-from diarizen_tpu.core.audio import read_wav
+from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.core.io_rttm import load_rttm, load_scp
 from diarizen_tpu.infer.mc_pipeline import McDiarizationPipeline, McSlidingInference
 from diarizen_tpu.infer.pipeline import EmbeddingInference
@@ -122,7 +122,7 @@ def main():
     scp = load_scp(args.wav_scp)
     hyps = {}
     for uri, path in list(scp.items())[: args.max_files]:
-        wave, sr = read_wav(path)
+        wave, sr = read_audio(path)
         c = wave.shape[0]
         if c < args.num_channels:  # wrap-pad channels (dataset parity)
             wave = np.pad(wave, ((0, args.num_channels - c), (0, 0)), mode="wrap")

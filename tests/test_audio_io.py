@@ -37,20 +37,26 @@ def test_reference_example_wav_loads():
 
 
 def test_read_audio_dispatch(wav_file, tmp_path):
-    """read_audio: WAV decodes natively; non-WAV without soundfile raises an
-    actionable error naming the missing decoder (reference loads anything
-    torchaudio does, core/io.py:436 — documented gap)."""
+    """read_audio: WAV and FLAC decode natively (FLAC via core/flac.py's C++
+    decoder — round-trip coverage in test_flac.py); other formats without
+    soundfile raise an actionable error naming the missing decoder (reference
+    loads anything torchaudio does, core/io.py:436)."""
     path, wave, sr = wav_file
     out, out_sr = read_audio(path)
     assert out_sr == sr and out.shape == wave.shape
 
     flac = tmp_path / "x.flac"
-    flac.write_bytes(b"fLaC\x00\x00\x00\x22")
+    flac.write_bytes(b"fLaC\x00\x00\x00\x22")  # truncated: dispatched natively
+    with pytest.raises(ValueError, match="FLAC decode failed"):
+        read_audio(flac)
+
+    ogg = tmp_path / "x.ogg"
+    ogg.write_bytes(b"OggS")
     try:
         import soundfile  # noqa: F401
     except ImportError:
         with pytest.raises(ValueError, match="soundfile"):
-            read_audio(flac)
+            read_audio(ogg)
 
 
 def test_get_wav_info(wav_file):
