@@ -218,6 +218,40 @@ class Annotation:
             )
         return "\n".join(lines) + ("\n" if lines else "")
 
+    def discretize(
+        self,
+        support: Segment,
+        resolution: "SlidingWindow",
+        labels: Optional[List[str]] = None,
+    ) -> "SlidingWindowFeature":
+        """Rasterize to a binary (num_frames, num_labels) SlidingWindowFeature.
+
+        pyannote.core Annotation.discretize equivalent, used by the
+        resegmentation pipeline (reference pipelines/resegmentation.py:233-239)
+        to align an input diarization with the segmentation model's frame
+        grid. Frame i (window [support.start + i*step, +duration)) is active
+        for a label iff a segment of that label contains the frame's center —
+        the same frame-center rasterization the training dataset uses.
+        """
+        labels = self.labels() if labels is None else labels
+        window = SlidingWindow(
+            duration=resolution.duration, step=resolution.step, start=support.start
+        )
+        num_frames = max(0, int(round(support.duration / resolution.step)))
+        data = np.zeros((num_frames, len(labels)), dtype=np.float32)
+        centers = (
+            support.start
+            + np.arange(num_frames) * resolution.step
+            + 0.5 * resolution.duration
+        )
+        for k, label in enumerate(labels):
+            for seg in self.label_timeline(label):
+                data[:, k] = np.maximum(
+                    data[:, k],
+                    ((centers >= seg.start) & (centers < seg.end)).astype(np.float32),
+                )
+        return SlidingWindowFeature(data, window)
+
 
 @dataclass(frozen=True)
 class SlidingWindow:

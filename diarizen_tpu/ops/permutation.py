@@ -57,7 +57,7 @@ def permutate_enumerate(
 
 
 def permutate_hungarian(
-    y1: np.ndarray, y2: np.ndarray
+    y1: np.ndarray, y2: np.ndarray, cost: str = "mse"
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side Hungarian PIT (exact for any K; reference parity path).
 
@@ -65,16 +65,24 @@ def permutate_hungarian(
     y2 with a different number of speakers than y1: y2 is padded/truncated
     column-wise to match y1's K (missing columns become zeros), matching
     reference permutate() semantics for k2 != k1.
+
+    cost : "mse" (training PIT, reference mse_cost_func) or "mae" (the
+    resegmentation pipeline's cost, reference utils/permutation.py:83-97).
     """
     B, F, K1 = y1.shape
     _, _, K2 = y2.shape
     permutated = np.zeros_like(y1)
     perm_list = np.full((B, K1), -1, dtype=np.int64)
     for b in range(B):
-        # cost[i, j] = MSE(y1[:, i], y2[:, j])
+        # cost_mat[i, j] = cost(y1[:, i], y2[:, j])
         diff = y1[b][:, :, None] - y2[b][:, None, :]  # (F, K1, K2)
-        cost = np.mean(diff**2, axis=0)  # (K1, K2)
-        row, col = linear_sum_assignment(cost)
+        if cost == "mse":
+            cost_mat = np.mean(diff**2, axis=0)  # (K1, K2)
+        elif cost == "mae":
+            cost_mat = np.mean(np.abs(diff), axis=0)
+        else:
+            raise ValueError(f"unknown cost {cost!r}")
+        row, col = linear_sum_assignment(cost_mat)
         for i, j in zip(row, col):
             permutated[b, :, i] = y2[b, :, j]
             perm_list[b, i] = j

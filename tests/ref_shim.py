@@ -400,6 +400,14 @@ def load_ref_diarization():
     )
 
 
+def load_ref_permutation():
+    """Reference permutate()/mae_cost_func/mse_cost_func."""
+    install_shim()
+    return _load(
+        "pyannote.audio.utils.permutation", f"{REF_PA}/utils/permutation.py"
+    )
+
+
 def load_ref_clustering():
     """Reference clustering module (BaseClustering/AgglomerativeClustering/
     VBxClustering/OracleClustering)."""
