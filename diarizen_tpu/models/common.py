@@ -167,6 +167,51 @@ def conv1d(
     return y
 
 
+def init_lstm_layer(rng: jax.Array, in_dim: int, hidden: int,
+                    bidirectional: bool = True) -> Params:
+    """Per-layer BiLSTM parameters (torch nn.LSTM layout: i,f,g,o gates)."""
+    layer: Params = {}
+    bound = 1.0 / np.sqrt(hidden)
+    for d, direction in enumerate(("fwd", "bwd") if bidirectional else ("fwd",)):
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, d))
+        layer[direction] = {
+            "w_ih": jax.random.uniform(k1, (in_dim, 4 * hidden), minval=-bound, maxval=bound),
+            "w_hh": jax.random.uniform(k2, (hidden, 4 * hidden), minval=-bound, maxval=bound),
+            "b": jnp.zeros((4 * hidden,)),
+        }
+    return layer
+
+
+def lstm_direction(p: Params, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
+    """(B, T, D) -> (B, T, H) single-direction LSTM via lax.scan
+    (torch nn.LSTM gate math: i,f,g,o; used by the PyanNet baseline and
+    SSeRiouSS heads — sequence lengths are a few hundred frames, so a scan
+    over time with batched GEMM gates is the right TPU shape)."""
+    b, t, _ = x.shape
+    h_dim = p["w_hh"].shape[0]
+    xs = jnp.flip(x, axis=1) if reverse else x
+    gates_x = jnp.einsum("btd,dg->btg", xs, p["w_ih"]) + p["b"]
+
+    def step(carry, gx):
+        h, c = carry
+        g = gx + h @ p["w_hh"].astype(h.dtype)
+        i, f, gg, o = jnp.split(g, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        c = f * c + i * jnp.tanh(gg)
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    # carry dtype must match the promoted gate dtype (bf16 input x f32
+    # weights -> f32 gates), or lax.scan rejects the carry signature
+    init = (
+        jnp.zeros((b, h_dim), gates_x.dtype),
+        jnp.zeros((b, h_dim), gates_x.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1))
+    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+    return jnp.flip(hs, axis=1) if reverse else hs
+
+
 def dropout(rng: Optional[jax.Array], x: jnp.ndarray, rate: float, train: bool) -> jnp.ndarray:
     if not train or rate == 0.0 or rng is None:
         return x

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diarizen_tpu.models.common import Params, init_linear, linear
+from diarizen_tpu.models.common import Params, init_linear, linear, lstm_direction
 from diarizen_tpu.ops.powerset import num_powerset_classes
 from diarizen_tpu.ops.receptive_field import multi_conv_num_frames
 
@@ -79,12 +79,16 @@ class SincNetEendConfig:
         return (size2 - size1) / self.sample_rate, size1 / self.sample_rate
 
 
-def init_sincnet_eend_params(rng: jax.Array, cfg: SincNetEendConfig) -> Params:
-    keys = iter(jax.random.split(rng, 32))
+def init_sincnet_frontend_params(rng: jax.Array, sample_rate: int = SAMPLE_RATE) -> Params:
+    """SincNet block parameters (waveform InstanceNorm + sinc filterbank +
+    two conv/pool/norm stages -> 60 channels); shared by the PyanNet EEND
+    baseline and the XVectorSincNet embedding model (reference
+    models/blocks/sincnet.py:42-183)."""
+    k1, k2 = jax.random.split(rng)
     # mel-spaced sinc band init (original SincNet)
-    low = _imel(np.linspace(_mel(30.0), _mel(cfg.sample_rate / 2 - MIN_LOW_HZ - MIN_BAND_HZ),
+    low = _imel(np.linspace(_mel(30.0), _mel(sample_rate / 2 - MIN_LOW_HZ - MIN_BAND_HZ),
                             SINC_FILTERS + 1))
-    params: Params = {
+    return {
         "wav_norm": {"scale": jnp.ones((1,)), "bias": jnp.zeros((1,))},
         "sinc": {
             "low_hz": jnp.asarray(low[:-1], jnp.float32),
@@ -92,20 +96,27 @@ def init_sincnet_eend_params(rng: jax.Array, cfg: SincNetEendConfig) -> Params:
         },
         "norm0": {"scale": jnp.ones((SINC_FILTERS,)), "bias": jnp.zeros((SINC_FILTERS,))},
         "conv1": {
-            "w": jax.random.normal(next(keys), (5, SINC_FILTERS, 60)) / np.sqrt(5 * 80),
+            "w": jax.random.normal(k1, (5, SINC_FILTERS, 60)) / np.sqrt(5 * 80),
             "b": jnp.zeros((60,)),
         },
         "norm1": {"scale": jnp.ones((60,)), "bias": jnp.zeros((60,))},
         "conv2": {
-            "w": jax.random.normal(next(keys), (5, 60, 60)) / np.sqrt(5 * 60),
+            "w": jax.random.normal(k2, (5, 60, 60)) / np.sqrt(5 * 60),
             "b": jnp.zeros((60,)),
         },
         "norm2": {"scale": jnp.ones((60,)), "bias": jnp.zeros((60,))},
+    }
+
+
+def init_sincnet_eend_params(rng: jax.Array, cfg: SincNetEendConfig) -> Params:
+    keys = iter(jax.random.split(rng, 32))
+    params: Params = init_sincnet_frontend_params(next(keys), cfg.sample_rate)
+    params.update({
         "lstm": [],
         "linear1": init_linear(next(keys), 2 * cfg.hidden_size, 128),
         "linear2": init_linear(next(keys), 128, 128),
         "classifier": init_linear(next(keys), 128, cfg.num_powerset_classes),
-    }
+    })
     in_dim = 60
     for _ in range(cfg.num_lstm_layers):
         layer = {}
@@ -161,41 +172,11 @@ def _max_pool(x: jnp.ndarray, size: int = 3) -> jnp.ndarray:
     return jnp.max(x, axis=2)
 
 
-def _lstm_direction(p: Params, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
-    """(B, T, D) -> (B, T, H) single-direction LSTM via lax.scan."""
-    b, t, _ = x.shape
-    h_dim = p["w_hh"].shape[0]
-    xs = jnp.flip(x, axis=1) if reverse else x
-    gates_x = jnp.einsum("btd,dg->btg", xs, p["w_ih"]) + p["b"]
-
-    def step(carry, gx):
-        h, c = carry
-        g = gx + h @ p["w_hh"]
-        i, f, gg, o = jnp.split(g, 4, axis=-1)
-        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
-        c = f * c + i * jnp.tanh(gg)
-        h = o * jnp.tanh(c)
-        return (h, c), h
-
-    init = (jnp.zeros((b, h_dim), x.dtype), jnp.zeros((b, h_dim), x.dtype))
-    _, hs = jax.lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1))
-    hs = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
-    return jnp.flip(hs, axis=1) if reverse else hs
+_lstm_direction = lstm_direction  # shared scan LSTM (models/common.py)
 
 
-def sincnet_eend_forward(
-    params: Params,
-    cfg: SincNetEendConfig,
-    waveforms: jnp.ndarray,
-    *,
-    train: bool = False,
-    rng: Optional[jax.Array] = None,
-) -> jnp.ndarray:
-    """(B, C, T) or (B, T) -> log-powerset scores (B, F, P)."""
-    from diarizen_tpu.models.common import dropout
-
-    if waveforms.ndim == 3:
-        waveforms = waveforms[:, cfg.selected_channel, :]
+def sincnet_frontend(params: Params, waveforms: jnp.ndarray) -> jnp.ndarray:
+    """SincNet feature block: (B, T) waveforms -> (B, frames, 60)."""
     x = waveforms[:, :, None]  # (B, T, 1)
     x = _instance_norm(params["wav_norm"], x)
 
@@ -214,6 +195,23 @@ def sincnet_eend_forward(
             dimension_numbers=("NWC", "WIO", "NWC"),
         ) + conv["b"]
         x = jax.nn.leaky_relu(_instance_norm(norm, _max_pool(x)))
+    return x
+
+
+def sincnet_eend_forward(
+    params: Params,
+    cfg: SincNetEendConfig,
+    waveforms: jnp.ndarray,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """(B, C, T) or (B, T) -> log-powerset scores (B, F, P)."""
+    from diarizen_tpu.models.common import dropout
+
+    if waveforms.ndim == 3:
+        waveforms = waveforms[:, cfg.selected_channel, :]
+    x = sincnet_frontend(params, waveforms)
 
     for li, layer in enumerate(params["lstm"]):
         fwd = _lstm_direction(layer["fwd"], x, reverse=False)
