@@ -446,6 +446,14 @@ class DiarizationPipeline:
                 wave_device, starts[: plan["n_true"]], weights, hook=hook
             )
             buf = fs.merge(packed, counts, emb_dev)
+            # enqueue the d2h right behind this file's own execs — in stream
+            # mode the blocking np.asarray() in _finish_fused otherwise
+            # issues it only after the NEXT file's work is queued, and the
+            # tunnel processes the in-order queue serially
+            try:
+                buf.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
         except Exception as e:  # noqa: BLE001 — OOM -> host path w/ backoff
             from diarizen_tpu.utils import is_oom_error
 

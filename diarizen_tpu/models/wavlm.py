@@ -390,16 +390,68 @@ def _feature_extractor(
     return x
 
 
+def _packed_grouped_conv(
+    w: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray, k: int, groups: int
+) -> jnp.ndarray:
+    """'same'-padded grouped conv via P=2 block-Toeplitz packing, trimmed to T.
+
+    The grouped conv (k=128, g=16 for the pos-conv) is reformulated by packing
+    P consecutive time steps into the channel dim: each group's conv becomes a
+    DENSE conv with k/P+1 taps over P*(C/g) lanes. Measured on the v5e chip at
+    (B=32, T=399, C=768): 5.9 ms for the per-group loop of thin convs,
+    4.1 ms for feature_group_count, 2.9 ms packed (tools/probe_posconv2.py).
+    Dense convs also sidestep the XLA SPMD grouped-conv gradient miscompile
+    (see common.conv1d). FLOP overhead of packing: (k/P+1)*P/k = +1.6%.
+    """
+    P = 2
+    assert k % P == 0
+    kb = k // P + 1
+    batch, t, c = x.shape
+    cg = c // groups
+    pad = k // 2
+    # W2[j2, (a, ci), (tau, co)] = w[P*j2 + a - tau, ci, co] (zero when the
+    # tap index leaves [0, k)); static index plan, one gather at trace time.
+    j2 = np.arange(kb)[:, None, None]
+    a = np.arange(P)[None, :, None]
+    tau = np.arange(P)[None, None, :]
+    src = P * j2 + a - tau  # (kb, P, P)
+    valid = (src >= 0) & (src < k)
+    src = np.where(valid, np.clip(src, 0, k - 1), k)  # k -> zero row
+    w_ext = jnp.concatenate([w, jnp.zeros((1, cg, c), w.dtype)], axis=0)
+    w2 = jnp.take(w_ext, jnp.asarray(src.reshape(-1)), axis=0)
+    w2 = w2.reshape(kb, P, P, cg, c).transpose(0, 1, 3, 2, 4)  # (kb,P,ci,P,co)
+
+    tp = -(-t // P) * P  # output length rounded up to a multiple of P
+    xp = jnp.pad(x, ((0, 0), (pad, pad + (tp - t) + P), (0, 0)))
+    nblk = xp.shape[1] // P
+    xb = xp[:, : nblk * P].reshape(batch, nblk, P, c)
+    outs = []
+    for g in range(groups):
+        xg = xb[..., g * cg:(g + 1) * cg].reshape(batch, nblk, P * cg)
+        wg = w2[:, :, :, :, g * cg:(g + 1) * cg].reshape(kb, P * cg, P * cg)
+        y = jax.lax.conv_general_dilated(
+            xg, wg, (1,), [(0, 0)], dimension_numbers=("NWC", "WIO", "NWC"))
+        outs.append(y[:, : tp // P].reshape(batch, tp, cg))
+    return jnp.concatenate(outs, axis=-1)[:, :t] + b.astype(x.dtype)
+
+
 def _pos_conv(params: Params, cfg: WavLMConfig, x: jnp.ndarray) -> jnp.ndarray:
     """Weight-normed grouped conv positional embedding (components.py:317-380)."""
     p = params["pos_conv"]
     k = cfg.pos_conv_kernel
+    g = cfg.pos_conv_groups
     v = p["v"].astype(jnp.float32)  # (K, Cin/g, Cout)
     norm = jnp.linalg.norm(v.reshape(k, -1), axis=-1, keepdims=True)  # per-k
     w = (p["g"].astype(jnp.float32)[:, None] * v.reshape(k, -1) / jnp.maximum(norm, 1e-12)).reshape(v.shape)
-    y = conv1d({"w": w.astype(x.dtype), "b": p["b"]}, x, padding=k // 2, groups=cfg.pos_conv_groups)
-    if k % 2 == 0:
-        y = y[:, :-1]
+    if k % 2 == 0 and g > 1 and x.shape[-1] % g == 0:
+        # even k: torch's symmetric k//2 pad yields T+1 frames and the
+        # reference trims the last (components.py:368-374) — the packed form
+        # computes frames [0, T) directly.
+        y = _packed_grouped_conv(w.astype(x.dtype), p["b"], x, k, g)
+    else:
+        y = conv1d({"w": w.astype(x.dtype), "b": p["b"]}, x, padding=k // 2, groups=g)
+        if k % 2 == 0:
+            y = y[:, :-1]
     return gelu(y)
 
 

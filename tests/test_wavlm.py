@@ -117,3 +117,36 @@ def test_wavlm_macs_base():
     # WavLM Base+: ~6.9 GMACs per second of audio (BASELINE.md pruning table)
     macs = count_macs(WavLMConfig.base(), 16000)
     assert 6.0e9 < macs < 7.5e9
+
+
+def test_packed_grouped_posconv_matches_loop_conv():
+    """The P=2 block-Toeplitz pos-conv (wavlm._packed_grouped_conv) must equal
+    the padded grouped conv it replaces — forward AND gradients (it runs in
+    the training path too). tools/probe_posconv2.py has the TPU timings."""
+    import jax
+
+    from diarizen_tpu.models.common import conv1d
+    from diarizen_tpu.models.wavlm import _packed_grouped_conv
+
+    rng = np.random.default_rng(0)
+    for k, g, c, t in [(128, 16, 768, 399), (128, 16, 96, 57), (64, 8, 256, 64)]:
+        cg = c // g
+        w = jnp.asarray(rng.standard_normal((k, cg, c)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        x = jnp.asarray(rng.standard_normal((2, t, c)), jnp.float32)
+
+        ref = conv1d({"w": w, "b": b}, x, padding=k // 2, groups=g)[:, :-1]
+        got = _packed_grouped_conv(w, b, x, k, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+        def loss_ref(w, x):
+            return jnp.sum(jnp.sin(conv1d({"w": w, "b": b}, x, padding=k // 2, groups=g)[:, :-1]))
+
+        def loss_got(w, x):
+            return jnp.sum(jnp.sin(_packed_grouped_conv(w, b, x, k, g)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(w, x)
+        gg = jax.grad(loss_got, argnums=(0, 1))(w, x)
+        for a, e in zip(gg, gr):
+            scale = float(jnp.max(jnp.abs(e))) + 1e-9
+            assert float(jnp.max(jnp.abs(a - e))) / scale < 5e-3
