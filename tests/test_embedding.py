@@ -231,3 +231,55 @@ def test_embed_waveforms_bf16_close_to_f32():
         np.linalg.norm(f32, axis=-1) * np.linalg.norm(bf16, axis=-1)
     )
     assert np.all(cos > 0.995), cos.min()
+
+
+def test_shared_fbank_path_matches_per_window():
+    """EmbeddingInference(shared_fbank=True) — one full-file fbank + device
+    frame-window gathers — must match the per-window fbank path exactly:
+    every fbank frame is an independent function of its 400 samples and the
+    per-window CMN is applied after the gather, so the two orderings compute
+    the same values. Both int16 (PCM transport) and f32 waves, including a
+    misaligned-start fallback to the per-window path."""
+    from diarizen_tpu.infer.pipeline import EmbeddingInference
+    from diarizen_tpu.models.fbank import FRAME_SHIFT
+
+    cfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=64)
+    params = init_resnet_params(jax.random.PRNGKey(0), cfg)
+    window = 16000
+    step = 3200  # multiple of FRAME_SHIFT=160 (the 0.1*duration grid is too)
+    rng = np.random.default_rng(7)
+    starts = np.arange(6, dtype=np.int64) * step
+
+    for dtype in (np.int16, np.float32):
+        if dtype is np.int16:
+            wave = rng.integers(-3000, 3000, starts[-1] + window).astype(np.int16)
+        else:
+            wave = rng.standard_normal(starts[-1] + window).astype(np.float32) * 0.1
+        wave_dev = jax.device_put(wave)
+        weights = rng.random((len(starts), 2, 99)).astype(np.float32)
+
+        shared = EmbeddingInference(
+            params, cfg, window_size=window, num_speakers=2, batch_size=4,
+            shared_fbank=True,
+        )(wave_dev, starts, weights)
+        per_window = EmbeddingInference(
+            params, cfg, window_size=window, num_speakers=2, batch_size=4,
+            shared_fbank=False,
+        )(wave_dev, starts, weights)
+        np.testing.assert_allclose(shared, per_window, rtol=1e-5, atol=1e-5)
+
+    # misaligned starts (not on the 160-sample frame grid) must fall back
+    bad_starts = starts + 37
+    wave = rng.standard_normal(bad_starts[-1] + window).astype(np.float32) * 0.1
+    wave_dev = jax.device_put(wave)
+    weights = rng.random((len(starts), 2, 99)).astype(np.float32)
+    inf = EmbeddingInference(
+        params, cfg, window_size=window, num_speakers=2, batch_size=4,
+        shared_fbank=True,
+    )
+    out = inf(wave_dev, bad_starts, weights)
+    ref = EmbeddingInference(
+        params, cfg, window_size=window, num_speakers=2, batch_size=4,
+        shared_fbank=False,
+    )(wave_dev, bad_starts, weights)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)

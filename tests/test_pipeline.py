@@ -269,14 +269,18 @@ def test_embedding_oom_backoff():
     emb = EmbeddingInference(
         rparams, rcfg, window_size=32000, num_speakers=3, batch_size=8
     )
-    real_fwd = emb._fwd
+    # wrap BOTH forwards: dispatch picks _fwd_feats (shared fbank) when the
+    # window grid aligns to the frame hop, _fwd otherwise
+    def oomy(real_fwd):
+        def wrapped(src, starts, weights):
+            if starts.shape[0] > 2:
+                raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+            return real_fwd(src, starts, weights)
 
-    def oomy_fwd(wave_device, starts, weights):
-        if starts.shape[0] > 2:
-            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
-        return real_fwd(wave_device, starts, weights)
+        return wrapped
 
-    emb._fwd = oomy_fwd
+    emb._fwd = oomy(emb._fwd)
+    emb._fwd_feats = oomy(emb._fwd_feats)
     wave = jax.device_put(np.zeros(16000 * 6, np.float32))
     starts = np.arange(5, dtype=np.int64) * 8000
     weights = np.ones((5, 3, 99), np.float32)
