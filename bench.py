@@ -197,7 +197,15 @@ def main():
                 ),
                 "value": value,
                 "unit": "audio-seconds/s",
+                # the reference publishes NO hardware throughput numbers
+                # (BASELINE.md); this ratio anchors to an INVENTED nominal
+                # 40x-realtime rate for the reference stack on one GPU and is
+                # labeled as such so the JSON is self-describing.
                 "vs_baseline": round(value / 40.0, 2),
+                "vs_baseline_note": (
+                    "ratio vs an invented nominal 40x-realtime anchor; the "
+                    "reference publishes no throughput numbers (BASELINE.md)"
+                ),
                 "configs": results,
             }
         )

@@ -181,6 +181,7 @@ class VBxClustering:
         max_iters: int = 20,
         constrained_assignment: bool = True,
         max_num_embeddings: Optional[int] = None,
+        loop_prob: float = 0.0,
     ):
         self.plda_dir = plda_dir
         self.ahc_criterion = ahc_criterion
@@ -191,6 +192,9 @@ class VBxClustering:
         self.max_iters = max_iters
         self.constrained_assignment = constrained_assignment
         self.max_num_embeddings = max_num_embeddings
+        # loop_prob > 0 selects the HMM forward-backward mode (the recipes all
+        # use the GMM mode, loop_prob=0 — clustering.py:654-673)
+        self.loop_prob = loop_prob
 
     def __call__(
         self,
@@ -223,7 +227,8 @@ class VBxClustering:
         fea = plda_tf(xvec_tf(train_embeddings), lda_dim=self.lda_dim)
         phi = plda_psi[: self.lda_dim]
         q, sp = cluster_vbx(
-            ahc_clusters, fea, phi, fa=self.fa, fb=self.fb, max_iters=self.max_iters
+            ahc_clusters, fea, phi, fa=self.fa, fb=self.fb,
+            loop_prob=self.loop_prob, max_iters=self.max_iters,
         )
 
         # gamma-weighted centroids over surviving speakers (pi > 1e-7);

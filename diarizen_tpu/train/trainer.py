@@ -202,12 +202,19 @@ class Trainer:
         }
 
     def validate(self, loader) -> Dict[str, float]:
-        totals = {"false_alarm": 0.0, "missed_detection": 0.0, "confusion": 0.0,
-                  "speech_total": 0.0, "loss_sum": 0.0, "num_chunks": 0.0}
+        # Accumulate on device: each batch's adds are dispatched async, so the
+        # host never blocks mid-epoch; one device_get at the end is the only
+        # sync (the reference host-syncs per batch via gather_for_metrics,
+        # trainer_dual_opt.py:555-558 — here that would cost a tunnel RTT per
+        # batch).
+        keys = ("false_alarm", "missed_detection", "confusion",
+                "speech_total", "loss_sum", "num_chunks")
+        acc = {k: jnp.zeros(()) for k in keys}
         for batch in loader:
             m = self._eval_step(self.state, self._shard_batch(batch))
-            for k in totals:
-                totals[k] += float(m[k])
+            for k in keys:
+                acc[k] = acc[k] + m[k]
+        totals = {k: float(v) for k, v in jax.device_get(acc).items()}
         speech = max(totals["speech_total"], 1e-9)
         der = (totals["false_alarm"] + totals["missed_detection"] + totals["confusion"]) / speech
         return {
@@ -226,8 +233,23 @@ class Trainer:
                 train_loader.set_epoch(epoch)
             train_metrics = self.train_epoch(train_loader, epoch, rng)
             if (epoch + 1) % self.tc.validation_interval != 0:
+                # Save every epoch even without validation (the reference
+                # checkpoints unconditionally, trainer_dual_opt.py:488-489) —
+                # a crash mid-interval must not lose epochs.
+                step = int(self.state.step)
                 append_metrics(self.exp_dir, {"epoch": epoch, **train_metrics,
-                                              "step": int(self.state.step)})
+                                              "step": step})
+                save_checkpoint(
+                    self.ckpt_root, epoch,
+                    self.state.params, self.state.model_state, self.state.opt_state,
+                    meta={
+                        "step": step,
+                        "best_score": self.best_score,
+                        "best_epoch": self.best_epoch,
+                        "epochs_without_improvement": self.epochs_without_improvement,
+                    },
+                    max_keep=self.tc.max_num_checkpoints,
+                )
                 continue
             val_metrics = self.validate(val_loader)
             last_val = val_metrics

@@ -302,3 +302,69 @@ def test_trainer_two_epochs_loss_decreases(kaldi_dir, tmp_path):
     trainer2 = Trainer(cfg, tc, optimizer, params, model_state)
     assert trainer2.resume()
     assert trainer2.start_epoch == 2
+
+
+def test_trainer_checkpoints_every_epoch_with_validation_interval(tmp_path):
+    """With validation_interval > 1 the trainer must still checkpoint every
+    epoch (the reference saves unconditionally, trainer_dual_opt.py:488-489);
+    a crash mid-interval then resumes from the last epoch, not the last
+    validation epoch."""
+    cfg = tiny_cfg(chunk_size=1.0)
+    nf = cfg.num_frames(16000)
+    params, model_state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    optimizer = dual_lr_optimizer(
+        non_wavlm_param_labels(params), lr_small=1e-4, lr_big=3e-3, clip_percentile=None
+    )
+    tc = TrainerConfig(
+        exp_dir=str(tmp_path / "exp"), max_epochs=3, compute_dtype="float32",
+        validation_interval=3, log_every=1000,
+    )
+    trainer = Trainer(cfg, tc, optimizer, params, model_state)
+
+    rng = np.random.default_rng(0)
+    xs = rng.standard_normal((2, 1, 16000)).astype(np.float32) * 0.1
+    target = np.zeros((2, nf, 4), dtype=np.float32)
+    target[:, :, 0] = 1.0
+    batches = [{"xs": xs, "target": target}]
+    trainer.train(batches, batches)
+
+    ckpts = sorted((tmp_path / "exp" / "checkpoints").glob("epoch_*"))
+    assert [p.name for p in ckpts] == ["epoch_0000", "epoch_0001", "epoch_0002"]
+
+    # resume from a non-validation epoch restores the epoch counter
+    trainer2 = Trainer(cfg, tc, optimizer, params, model_state)
+    assert trainer2.resume()
+    assert trainer2.start_epoch == 3
+
+
+def test_trainer_validate_single_host_sync(tmp_path, monkeypatch):
+    """validate() must accumulate metrics on device and host-sync once per
+    epoch (VERDICT weak #7: was 6 float() syncs per batch)."""
+    cfg = tiny_cfg(chunk_size=1.0)
+    nf = cfg.num_frames(16000)
+    params, model_state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    optimizer = dual_lr_optimizer(
+        non_wavlm_param_labels(params), lr_small=1e-4, lr_big=3e-3, clip_percentile=None
+    )
+    tc = TrainerConfig(exp_dir=str(tmp_path / "exp"), compute_dtype="float32")
+    trainer = Trainer(cfg, tc, optimizer, params, model_state)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(4):
+        xs = rng.standard_normal((2, 1, 16000)).astype(np.float32) * 0.1
+        target = np.zeros((2, nf, 4), dtype=np.float32)
+        target[:, :, 0] = 1.0
+        batches.append({"xs": xs, "target": target})
+
+    calls = {"n": 0}
+    real_get = jax.device_get
+
+    def counting_get(x):
+        calls["n"] += 1
+        return real_get(x)
+
+    monkeypatch.setattr(jax, "device_get", counting_get)
+    m = trainer.validate(batches)
+    assert calls["n"] == 1
+    assert math.isfinite(m["loss"]) and math.isfinite(m["der"])
