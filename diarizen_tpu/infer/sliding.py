@@ -314,5 +314,10 @@ def receptive_field_window(cfg) -> SlidingWindow:
             )
         else:  # fbank: frame 0 is centered at t=0 (center=True framing)
             center0 = 0
-    start = center0 / cfg.sample_rate - duration / 2
+    # start = (center - (size-1)/2) / sr, NOT center/sr - duration/2: the
+    # reference offsets by half of (size-1) samples (core/model.py:188-190);
+    # the half-sample difference shifts closest_frame rounding at boundaries
+    # (caught by tests/test_full_pipeline_oracle.py)
+    size = duration * cfg.sample_rate
+    start = (center0 - (size - 1) / 2) / cfg.sample_rate
     return SlidingWindow(start=start, duration=duration, step=step)

@@ -18,6 +18,7 @@ crop index math). Reference call sites:
 
 from __future__ import annotations
 
+import enum
 import importlib.util
 import itertools
 import os
@@ -268,6 +269,67 @@ class Annotation:
         return len(self._tracks)
 
 
+class Resolution(enum.Enum):
+    """pyannote.audio.core.task.Resolution subset (task.py:70-72)."""
+
+    FRAME = 1
+    CHUNK = 2
+
+
+class Problem(enum.Enum):
+    """pyannote.audio.core.task.Problem subset (task.py:58-64)."""
+
+    BINARY_CLASSIFICATION = 0
+    MONO_LABEL_CLASSIFICATION = 1
+    MULTI_LABEL_CLASSIFICATION = 2
+
+
+class Specifications:
+    """Faithful pyannote Specifications subset (core/task.py:80-137): the
+    attributes + powerset/num_powerset_classes properties + single-spec
+    iteration protocol that Inference.__init__ and slide() rely on."""
+
+    def __init__(self, problem, resolution, duration, min_duration=None,
+                 warm_up=(0.0, 0.0), classes=None, powerset_max_classes=None,
+                 permutation_invariant=False):
+        self.problem = problem
+        self.resolution = resolution
+        self.duration = duration
+        self.min_duration = min_duration
+        self.warm_up = warm_up
+        self.classes = classes
+        self.powerset_max_classes = powerset_max_classes
+        self.permutation_invariant = permutation_invariant
+
+    @property
+    def powerset(self) -> bool:
+        return self.powerset_max_classes is not None
+
+    @property
+    def num_powerset_classes(self) -> int:
+        import scipy.special
+
+        return int(sum(scipy.special.binom(len(self.classes), i)
+                       for i in range(0, self.powerset_max_classes + 1)))
+
+    def __len__(self):
+        return 1
+
+    def __iter__(self):
+        yield self
+
+
+def map_with_specifications(specifications, func, *iterables):
+    """Faithful utils/multi_task.py:29-60: pass the specification through as
+    a keyword so spec-dependent callbacks (Inference.slide's __frames /
+    __aggregate) see it."""
+    if isinstance(specifications, tuple):
+        return tuple(
+            func(*i, specifications=s) for s, *i in zip(specifications, *iterables)
+        )
+    return func(*iterables, specifications=specifications)
+
+
 def annotation_tuples(ann) -> list:
     """(start, end, label) rows from either a shim Annotation or a
     diarizen_tpu Annotation — the cross-framework comparison format."""
@@ -355,12 +417,13 @@ def install_shim():
     _module("pyannote.audio")
     _module("pyannote.audio.core")
     _module("pyannote.audio.core.io", AudioFile=dict, Audio=object)
-    _module("pyannote.audio.core.model", Model=object, Specifications=object)
-    _module("pyannote.audio.core.task", Resolution=object,
-            Specifications=object, Problem=object)
+    _module("pyannote.audio.core.model", Model=object,
+            Specifications=Specifications)
+    _module("pyannote.audio.core.task", Resolution=Resolution,
+            Specifications=Specifications, Problem=Problem)
     _module("pyannote.audio.utils")
     _module("pyannote.audio.utils.multi_task",
-            map_with_specifications=lambda spec, fn, *xs: fn(*xs))
+            map_with_specifications=map_with_specifications)
     _module("pyannote.audio.utils.reproducibility",
             fix_reproducibility=lambda device: None)
     _module("pyannote.audio.pipelines")
