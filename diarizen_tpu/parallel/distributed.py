@@ -22,13 +22,21 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize multi-host jax (NCCL-DDP equivalent). With no arguments,
-    jax auto-detects the TPU pod environment variables."""
-    if jax.process_count() > 1 or coordinator_address is None:
-        # already initialized or auto-detectable environment
+    jax auto-detects the TPU pod environment variables.
+
+    Must run before any backend-creating jax call — probing
+    `jax.process_count()` here would itself initialize the backends and make
+    `jax.distributed.initialize` fail, so already-initialized detection goes
+    through the distributed client handle instead."""
+    from jax._src import distributed as _distributed
+
+    if getattr(_distributed.global_state, "client", None) is not None:
+        return  # distributed runtime already initialized
+    if coordinator_address is None:
         try:
             jax.distributed.initialize()
         except (RuntimeError, ValueError):
-            pass  # single-process / already initialized
+            pass  # single-process / non-auto-detectable environment
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -49,7 +57,9 @@ def gather_to_host(x) -> np.ndarray:
 
     if jax.process_count() == 1:
         return np.asarray(x)
-    return np.asarray(multihost_utils.process_allgather(x))
+    # copy: np.asarray of a jax output is a read-only view, and pipeline
+    # callers mutate the result in place (inactive-speaker marking)
+    return np.array(multihost_utils.process_allgather(x))
 
 
 def broadcast_from_host(x) -> np.ndarray:
@@ -58,7 +68,7 @@ def broadcast_from_host(x) -> np.ndarray:
 
     if jax.process_count() == 1:
         return np.asarray(x)
-    return np.asarray(multihost_utils.broadcast_one_to_all(x))
+    return np.array(multihost_utils.broadcast_one_to_all(x))
 
 
 def process_window_shard(
