@@ -72,6 +72,20 @@ class SlidingInference:
         self._state = jax.device_put(state)
         model_fwd = segmentation_forward(cfg)
 
+        def whole_fwd(params, state, wave, soft: bool):
+            scores, _ = model_fwd(
+                params, state, cfg, wave, train=False, compute_dtype=compute_dtype
+            )
+            if soft:
+                return jnp.exp(scores) @ mapping
+            one_hot = jax.nn.one_hot(
+                jnp.argmax(scores, axis=-1), self.powerset.num_powerset_classes,
+                dtype=scores.dtype,
+            )
+            return (one_hot @ mapping).astype(jnp.uint8)
+
+        self._whole_fwd = jax.jit(whole_fwd, static_argnames=("soft",))
+
         def fwd(params, state, wave_device, starts, soft: bool):
             # wave_device: (num_samples_padded,) on device; starts: (B,) int32.
             # vmapped dynamic_slice, NOT an advanced-index gather: a
@@ -256,6 +270,29 @@ class SlidingInference:
 
         chunks = SlidingWindow(start=0.0, duration=self.duration, step=self.step)
         return SlidingWindowFeature(data, chunks)
+
+    def whole(
+        self,
+        waveform: np.ndarray,
+        sample_rate: Optional[int] = None,
+        soft: bool = False,
+    ) -> np.ndarray:
+        """Whole-file (non-sliding) inference: ONE forward over the full
+        waveform -> (num_frames, K) multilabel scores — the reference
+        engine's `window="whole"` mode (core/inference.py:237-260, 411-442;
+        recommended there only for short files: memory grows with length and
+        WavLM's rel-pos buckets saturate at 800 frames). Each distinct input
+        length compiles its own kernel, same as the reference re-running
+        cudnn autotuning per shape."""
+        sample_rate = sample_rate or self.sample_rate
+        assert sample_rate == self.sample_rate, "resample before inference"
+        if waveform.ndim == 2:
+            waveform = waveform[self.cfg.selected_channel]
+        out = self._whole_fwd(
+            self._params, self._state,
+            jnp.asarray(waveform, jnp.float32)[None], soft
+        )
+        return np.asarray(out[0])
 
     def aggregated(
         self,

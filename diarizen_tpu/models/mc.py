@@ -217,7 +217,7 @@ def wavlm_extract_features_mc(
     merged = False
     for i, layer in enumerate(params["layers"]):
         idx = i + 1
-        x = _encoder_layer(layer, cfg, i, x, position_bias, train, rng)
+        x, _ = _encoder_layer(layer, cfg, i, x, position_bias, train, rng)
         if idx < n_fuse:
             x4 = x.reshape(b, c, f, -1)
             fr = jax.random.fold_in(rng, 30_000 + idx) if rng is not None else None

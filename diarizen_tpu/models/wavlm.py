@@ -66,6 +66,26 @@ def use_flash_attention() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_FUSED_LN_OVERRIDE: Optional[bool] = None
+
+
+def set_fused_ln(enabled: Optional[bool]) -> None:
+    """Override the Pallas fused residual+LN(+acc) toggle.
+
+    Default OFF: measured s80 forward 16.4 -> 19.1 ms with the kernels ON
+    (PERF.md round-4 "fused-LN negative result") — XLA's own fusion of the
+    post-norm glue beats the hand-written kernels on this stack, which also
+    sever fusion with the adjacent matmuls. Kept (parity- and grad-tested,
+    ops/fused_ln.py) as the engineering record, same standard as
+    ops/conv_chain.py."""
+    global _FUSED_LN_OVERRIDE
+    _FUSED_LN_OVERRIDE = enabled
+
+
+def use_fused_ln() -> bool:
+    return _FUSED_LN_OVERRIDE if _FUSED_LN_OVERRIDE is not None else False
+
+
 # default conv stack: 16 kHz -> 50 Hz, 512 channels (components.py:1219-1221)
 DEFAULT_CONV_LAYERS: Tuple[Tuple[int, int, int], ...] = (
     (512, 10, 5),
@@ -555,30 +575,64 @@ def _encoder_layer(
     train: bool,
     rng: Optional[jax.Array],
     gate=None,
+    ws_acc=None,
 ) -> jnp.ndarray:
-    """Pre-LN (Large) or post-LN (Base) encoder layer (components.py:879-958)."""
+    """Pre-LN (Large) or post-LN (Base) encoder layer (components.py:879-958).
+
+    `ws_acc`: optional (w_scalar, acc_f32) for the fused weighted-sum mode —
+    when the Pallas fused path is active, the final post-norm LN also folds
+    `acc += w * x` into its HBM pass. Returns (x, acc_or_None)."""
+    w_i, acc = ws_acc if ws_acc is not None else (None, None)
+    # Pallas fused residual+LN glue: inference-path only (no custom VJP),
+    # post-norm stacks, no HardConcrete gating
+    fused = use_fused_ln() and not train and not cfg.layer_norm_first and gate is None
+    if fused:
+        from diarizen_tpu.ops.fused_ln import residual_ln, residual_ln_acc
+
     has_attn = cfg.use_attention[i] and "attn" in layer
+    has_ff = cfg.use_feed_forward[i] and "ff" in layer
     if has_attn:
         residual = x
         h = layer_norm(layer["attn_norm"], x) if cfg.layer_norm_first else x
         h = _self_attention(layer, cfg, i, h, position_bias, train, rng, hc_gate=gate)
         if train and rng is not None:
             h = dropout(jax.random.fold_in(rng, 3000 + i), h, cfg.dropout, train)
-        x = residual + h
+        if fused:
+            # fold the residual add into the post-norm attn LN pass
+            x = residual_ln(residual, h, layer["attn_norm"]["scale"],
+                            layer["attn_norm"]["bias"])
+        else:
+            x = residual + h
 
-    has_ff = cfg.use_feed_forward[i] and "ff" in layer
     if cfg.layer_norm_first:
         if has_ff:
             x = x + _feed_forward(
                 layer, cfg, layer_norm(layer["final_norm"], x), train, rng, i, gate=gate
             )
-    else:
-        # post-norm: LNs always applied even when sublayers are pruned away
+        if acc is not None:
+            acc = acc + w_i * x.astype(jnp.float32)
+        return x, acc
+
+    # post-norm: LNs always applied even when sublayers are pruned away
+    if not (has_attn and fused):
         x = layer_norm(layer["attn_norm"], x)
-        if has_ff:
-            x = x + _feed_forward(layer, cfg, x, train, rng, i, gate=gate)
-        x = layer_norm(layer["final_norm"], x)
-    return x
+    if has_ff:
+        ff_out = _feed_forward(layer, cfg, x, train, rng, i, gate=gate)
+        if fused and acc is not None:
+            x, acc = residual_ln_acc(
+                x, ff_out, layer["final_norm"]["scale"],
+                layer["final_norm"]["bias"], w_i, acc,
+            )
+            return x, acc
+        if fused:
+            x = residual_ln(x, ff_out, layer["final_norm"]["scale"],
+                            layer["final_norm"]["bias"])
+            return x, acc
+        x = x + ff_out
+    x = layer_norm(layer["final_norm"], x)
+    if acc is not None:
+        acc = acc + w_i * x.astype(jnp.float32)
+    return x, acc
 
 
 def wavlm_extract_features(
@@ -647,7 +701,17 @@ def wavlm_extract_features(
     hidden_states = [x]
     for i, layer in enumerate(params["layers"]):
         gate = layer_gates[i] if layer_gates is not None else None
-        new_x = _encoder_layer(layer, cfg, i, x, position_bias, train, rng, gate=gate)
+        # the per-layer acc update rides inside the layer's final-LN Pallas
+        # pass when the fused path is active (ws_acc); layer_drop (train) is
+        # incompatible with in-layer accumulation -> keep it external there
+        fuse_acc = (
+            layer_weights is not None
+            and not (train and cfg.layer_drop > 0.0 and rng is not None)
+        )
+        new_x, new_acc = _encoder_layer(
+            layer, cfg, i, x, position_bias, train, rng, gate=gate,
+            ws_acc=(w[i + 1], acc) if fuse_acc else None,
+        )
         if train and cfg.layer_drop > 0.0 and rng is not None:
             keep = jax.random.bernoulli(
                 jax.random.fold_in(rng, 20_000 + i), 1.0 - cfg.layer_drop
@@ -655,7 +719,7 @@ def wavlm_extract_features(
             new_x = jnp.where(keep, new_x, x)
         x = new_x
         if layer_weights is not None:
-            acc = acc + w[i + 1] * x.astype(jnp.float32)
+            acc = new_acc if fuse_acc else acc + w[i + 1] * x.astype(jnp.float32)
         else:
             hidden_states.append(x)
     if layer_weights is not None:

@@ -92,6 +92,11 @@ class DiarizationDataset:
     sample_rate: int = 16000
     num_channels: int = 1
     channel_mode: str = "sdm"  # sdm | random | average | multichannel
+    # short-chunk policy: "pad" zero-pads reads truncated at file end;
+    # "resample" re-draws a different random chunk instead — the reference
+    # MC recipe's semantics for truncated CHiME-6 files
+    # (recipes/diar_ssl_mc/dataset.py:238-245)
+    short_chunk_mode: str = "pad"
 
     def __post_init__(self):
         self.rec_scp = load_scp(self.scp_file)
@@ -111,7 +116,9 @@ class DiarizationDataset:
     def __len__(self) -> int:
         return len(self.chunk_indices)
 
-    def _read_chunk(self, path: str, start: float, end: float, rng) -> np.ndarray:
+    def _read_chunk(
+        self, path: str, start: float, end: float, rng, pad_short: bool = True
+    ) -> np.ndarray:
         s0 = int(start * self.sample_rate)
         n = int(end * self.sample_rate) - s0
         # read_audio dispatches WAV (random-access) or FLAC (whole-file decode
@@ -119,7 +126,7 @@ class DiarizationDataset:
         # bounded by DIARIZEN_FLAC_CACHE_MB, default 512).
         data, sr = read_audio(path, start_frame=s0, num_frames=n)
         assert sr == self.sample_rate, f"{path}: {sr} != {self.sample_rate}"
-        if data.shape[1] < n:  # pad short reads at file end
+        if data.shape[1] < n and pad_short:  # pad short reads at file end
             data = np.pad(data, ((0, 0), (0, n - data.shape[1])))
         c = data.shape[0]
         mode = self.channel_mode
@@ -140,7 +147,27 @@ class DiarizationDataset:
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         session, path, chunk_start, chunk_end = self.chunk_indices[idx]
-        data = self._read_chunk(path, chunk_start, chunk_end, rng)
+        if self.short_chunk_mode == "resample":
+            expected = int(chunk_end * self.sample_rate) - int(chunk_start * self.sample_rate)
+            local_rng = rng if rng is not None else np.random.default_rng(idx)
+            for _ in range(100):
+                data = self._read_chunk(
+                    path, chunk_start, chunk_end, rng, pad_short=False
+                )
+                if data.shape[1] == expected:
+                    break
+                # truncated read (file shorter than the UEM claims — CHiME-6
+                # case): draw a different chunk, reference dataset.py:238-245
+                idx = int(local_rng.integers(0, len(self.chunk_indices)))
+                session, path, chunk_start, chunk_end = self.chunk_indices[idx]
+                expected = int(chunk_end * self.sample_rate) - int(chunk_start * self.sample_rate)
+            else:
+                raise RuntimeError(
+                    "short_chunk_mode='resample': no full-length chunk found "
+                    "in 100 draws — check the UEM against the audio lengths"
+                )
+        else:
+            data = self._read_chunk(path, chunk_start, chunk_end, rng)
 
         session_idx = self.sessions.index(session)
         ann = self.annotations[self.annotations["session_idx"] == session_idx]

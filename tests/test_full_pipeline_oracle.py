@@ -496,3 +496,29 @@ def test_full_chain_rttm_oracle_vbx(setup, fused, tmp_path_factory):
 
     np.testing.assert_array_equal(artifacts["clustering"], expected.hard_clusters)
     assert _speaker_partition(ann) == _speaker_partition(expected.annotation)
+
+
+@needs_reference
+def test_whole_file_inference_matches_reference(setup):
+    """window='whole' mode: one forward over the full waveform, no sliding
+    (reference core/inference.py:237-260 + __call__ whole branch :411-442)."""
+    import warnings
+
+    inference_mod = sys.modules["pyannote.audio.core.inference"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_whole = inference_mod.Inference(
+            setup.ref_inference.model, window="whole",
+            duration=DURATION, batch_size=5, device=torch.device("cpu"),
+        )
+    short = setup.wave[:, : SR * 3]
+    file = {"waveform": torch.from_numpy(short), "sample_rate": SR,
+            "uri": "whole"}
+    expected_hard = ref_whole(file, soft=False)
+    got_hard = setup.seg_inf.whole(short, SR, soft=False)
+    assert got_hard.shape == expected_hard.shape  # (num_frames, 4)
+    np.testing.assert_array_equal(got_hard.astype(np.float32), expected_hard)
+
+    expected_soft = ref_whole(file, soft=True)
+    got_soft = setup.seg_inf.whole(short, SR, soft=True)
+    np.testing.assert_allclose(got_soft, expected_soft, rtol=5e-4, atol=5e-4)

@@ -414,3 +414,16 @@ batch_size = 4
     report = json.loads((out / "report.json").read_text())
     assert report["pruned_params_M"] <= report["original_params_M"]
     assert (out / "params.npz").exists() and (out / "config.json").exists()
+
+
+def test_stage_drivers_exist_for_all_recipes():
+    """Every recipe ships an executable, syntactically valid run_stage.sh
+    (the reference has one per recipe dir)."""
+    import subprocess
+
+    root = Path(__file__).resolve().parents[1] / "recipes"
+    for recipe in ("diar_ssl", "diar_ssl_mc", "diar_ssl_pruning"):
+        script = root / recipe / "run_stage.sh"
+        assert script.exists(), f"{recipe} lacks run_stage.sh"
+        assert os.access(script, os.X_OK), f"{script} not executable"
+        subprocess.run(["bash", "-n", str(script)], check=True)

@@ -368,3 +368,57 @@ def test_trainer_validate_single_host_sync(tmp_path, monkeypatch):
     m = trainer.validate(batches)
     assert calls["n"] == 1
     assert math.isfinite(m["loss"]) and math.isfinite(m["der"])
+
+
+def test_dataset_short_chunk_resample_mode(kaldi_dir, tmp_path):
+    """short_chunk_mode='resample' replaces a truncated chunk with a
+    different random full-length chunk (reference MC semantics for CHiME-6,
+    recipes/diar_ssl_mc/dataset.py:238-245); 'pad' (default) zero-pads."""
+    import shutil
+    from diarizen_tpu.core.audio import read_wav, write_wav
+
+    # build a corpus where one file is SHORTER than its UEM claims
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(0)
+    long_wav = wav_dir / "long.wav"
+    short_wav = wav_dir / "short.wav"
+    write_wav(long_wav, rng.standard_normal((1, 16000 * 6)).astype(np.float32) * 0.1, 16000)
+    write_wav(short_wav, rng.standard_normal((1, int(16000 * 1.5))).astype(np.float32) * 0.1, 16000)
+    (tmp_path / "wav.scp").write_text(
+        f"long {long_wav}\nshort {short_wav}\n"
+    )
+    (tmp_path / "rttm").write_text(
+        "SPEAKER long 1 0.50 2.00 <NA> <NA> spkA <NA> <NA>\n"
+        "SPEAKER short 1 0.20 1.50 <NA> <NA> spkB <NA> <NA>\n"
+    )
+    # UEM claims 6 s for the 1.5 s file -> its chunks read short
+    # (chunking covers [1, 5) after the reference's 1 s margins)
+    (tmp_path / "all.uem").write_text("long 1 0.00 6.00\nshort 1 0.00 6.00\n")
+
+    kwargs = dict(
+        scp_file=str(tmp_path / "wav.scp"), rttm_file=str(tmp_path / "rttm"),
+        uem_file=str(tmp_path / "all.uem"),
+        model_num_frames=99, model_rf_duration=0.025, model_rf_step=0.02,
+        chunk_size=2.0, chunk_shift=2.0,
+    )
+    n_samples = 2 * 16000
+
+    padded = DiarizationDataset(**kwargs)  # default: pad
+    resampled = DiarizationDataset(**kwargs, short_chunk_mode="resample")
+    assert len(padded) == 4  # 2 chunks per file
+
+    # find a chunk from the short file
+    short_idx = next(i for i, c in enumerate(padded.chunk_indices)
+                     if c[0] == "short")
+    x_pad, _, sess_pad = padded[short_idx]
+    assert sess_pad == "short" and x_pad.shape[1] == n_samples
+    assert np.all(x_pad[:, -16000:] == 0)  # zero-padded tail
+
+    x_rs, _, sess_rs = resampled.__getitem__(
+        short_idx, rng=np.random.default_rng(5)
+    )
+    # redrawn until a FULL chunk: must come from the long file, no pad tail
+    assert sess_rs == "long"
+    assert x_rs.shape[1] == n_samples
+    assert not np.all(x_rs[:, -16000:] == 0)
