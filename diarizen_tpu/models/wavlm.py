@@ -493,24 +493,39 @@ def _self_attention(
     nh = len(remaining)
     hd = cfg.head_dim
 
+    def split_heads(h):
+        return h.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+
+    # ONE fused qkv+gate GEMM instead of three thin projections plus a
+    # per-head gate projection: reads the (B, T, D) activation once. The
+    # GRU gate's per-head Linear(hd, 8) over ALL total_num_heads (reference
+    # components.py:702-713 — it consumes raw x per head, not the pruned q)
+    # becomes a block-diagonal (D, 8*Ht) column block, which also removes a
+    # (B, T, D) -> (B, Ht, T, hd) transpose of the full activation per layer.
+    parts_w = [p["q"]["w"], p["k"]["w"], p["v"]["w"]]
+    parts_b = [p["q"]["b"], p["k"]["b"], p["v"]["b"]]
+    if position_bias is not None:
+        gw = p["gru_linear"]["w"].astype(jnp.float32)  # (hd, 8)
+        blocks = jax.scipy.linalg.block_diag(*([gw] * total_heads))  # (D, 8*Ht)
+        parts_w.append(blocks.astype(parts_w[0].dtype))
+        parts_b.append(jnp.tile(p["gru_linear"]["b"], total_heads))
+    wqkv = jnp.concatenate(parts_w, axis=1)
+    bqkv = jnp.concatenate(parts_b)
+    fused = linear({"w": wqkv, "b": bqkv}, x)
+    q, k, v = (split_heads(h)
+               for h in jnp.split(fused[..., : 3 * nh * hd], 3, axis=-1))
+
     bias = None
     gate_sel = None
     if position_bias is not None:
-        # query-dependent GRU-style gate, computed over ALL total_num_heads
-        q_heads = x.reshape(b, t, total_heads, hd).transpose(0, 2, 1, 3)  # (B, Ht, T, hd)
-        gates = linear(p["gru_linear"], q_heads)  # (B, Ht, T, 8)
+        # query-dependent GRU-style gate over ALL total_num_heads
+        gates = fused[..., 3 * nh * hd :].reshape(b, t, total_heads, 8)
+        gates = gates.transpose(0, 2, 1, 3)  # (B, Ht, T, 8)
         gates = jax.nn.sigmoid(gates.astype(jnp.float32).reshape(b, total_heads, t, 2, 4).sum(-1))
         gate_a, gate_b = gates[..., 0], gates[..., 1]  # (B, Ht, T)
         gate = gate_a * (gate_b * p["gru_const"].astype(jnp.float32)[:, :, :, 0] - 1.0) + 2.0
         rem_idx = np.asarray(remaining, dtype=np.int64)
         gate_sel = gate[:, rem_idx]  # (B, nh, T)
-
-    def split_heads(h):
-        return h.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
-
-    q = split_heads(linear(p["q"], x))
-    k = split_heads(linear(p["k"], x))
-    v = split_heads(linear(p["v"], x))
     # Pallas fused-bias flash kernel: the (B, H, T, T) gated bias and score
     # matrices never reach HBM. Train path uses the custom-VJP variant (flash
     # backward) with in-kernel deterministic attention dropout.

@@ -58,7 +58,8 @@ def _forward_plan(h: int, t: int, dp: int, itemsize: int, rate: float,
     if rate > 0.0:
         # dropout needs a SINGLE q-block per head (bq == tp) so the backward
         # regenerates identical masks — search head-blocks at full-T panels
-        tp = _round_up(t, 128)
+        # (16-sublane rounding, not 128: T=399 panels are 400 not 512)
+        tp = _round_up(t, 16)
         if tp > MAX_BQ:
             return None
         if need_bwd and not _bwd_vmem_ok_tp(tp, dp, itemsize):
@@ -84,11 +85,19 @@ def _bwd_vmem_ok_tp(tp: int, dp_: int, itemsize: int) -> bool:
 
 def _pick_blocks(h: int, t: int, dp: int, itemsize: int):
     """Choose (head-block, q-block) so the working set fits VMEM; None if even
-    the smallest configuration does not fit (caller falls back to XLA)."""
+    the smallest configuration does not fit (caller falls back to XLA).
+
+    The TIGHT candidate (t rounded to the 16-sublane tile only) goes first:
+    power-of-two blocks round T=399 up to 512 — 28% padded query rows and
+    padded K/V length in every score panel. bq=400 removes the row waste
+    (the lane-dim padding to 128s is hardware tiling either way). Measured
+    (PERF.md round 4): large_s80 forward 43.2 -> 41.1 ms."""
+    tight = _round_up(t, 16)
     for hb in (6, 4, 3, 2, 1):
         if h % hb:
             continue
-        for bq in (512, 256, 128):
+        cands = ([tight] if tight <= MAX_BQ else []) + [512, 256, 128]
+        for bq in cands:
             tp = _round_up(t, bq)
             if bq > tp:
                 continue
