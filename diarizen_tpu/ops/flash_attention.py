@@ -146,8 +146,11 @@ def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, seed_ref, o_ref,
             *, scale: float, t_valid: int, hb: int, rate: float):
     # q_ref: (1, HB, BQ, D), k_ref/v_ref: (1, HB, Tp, D), p_ref: (HB, BQ, Tp),
     # g_ref: (1, HB, BQ, 1), seed_ref: (1, 1) SMEM, o_ref: (1, HB, BQ, D)
-    b = pl.program_id(0)
-    g_idx = pl.program_id(1)
+    # grid order (head-group, q-block, batch): batch innermost, so the
+    # (HB, BQ, Tp) bias block index is unchanged across the B inner steps and
+    # Mosaic skips re-fetching it (the bias is shared across the batch)
+    b = pl.program_id(2)
+    g_idx = pl.program_id(0)
     for hh in range(hb):  # static unroll over the head group
         q = q_ref[0, hh].astype(jnp.float32) * scale
         k = k_ref[0, hh].astype(jnp.float32)
@@ -222,19 +225,19 @@ def flash_attention_gated_bias(
     seed_arr = jnp.reshape(
         (seed if seed is not None else jnp.zeros((), jnp.int32)).astype(jnp.int32), (1, 1)
     )
-    grid = (b, h // hb, tp // bq)
+    grid = (h // hb, tp // bq, b)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, t_valid=t, hb=hb, rate=dropout_rate),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, hb, bq, dp), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, tp, dp), lambda i, g, j: (i, g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, tp, dp), lambda i, g, j: (i, g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hb, bq, tp), lambda i, g, j: (g, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hb, bq, 1), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, g, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, hb, bq, dp), lambda g, j, i: (i, g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp), lambda g, j, i: (i, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, tp, dp), lambda g, j, i: (i, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hb, bq, tp), lambda g, j, i: (g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, bq, 1), lambda g, j, i: (i, g, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda g, j, i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, hb, bq, dp), lambda i, g, j: (i, g, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, hb, bq, dp), lambda g, j, i: (i, g, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, dp), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, pf, gf, seed_arr)
