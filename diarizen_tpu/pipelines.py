@@ -58,11 +58,23 @@ def from_pretrained(
     embedding_ckpt: Optional[str | Path] = None,
     rttm_out_dir: Optional[str | Path] = None,
     mesh=None,
+    inference_overrides: Optional[dict] = None,
+    clustering_overrides: Optional[dict] = None,
 ) -> DiarizationPipeline:
     """Build the full diarization pipeline from a local pretrained dir or an
-    HF hub repo id."""
+    HF hub repo id. The override dicts layer on top of the model dir's
+    `[inference.args]` / `[clustering.args]` TOML sections (the reference CLI
+    exposes the same knobs, diarizen/pipelines/inference.py:222-320)."""
     model_dir = resolve_model_dir(model_dir)
     config = load_toml(model_dir / "config.toml")
+    if inference_overrides:
+        config.setdefault("inference", {}).setdefault("args", {}).update(
+            {k: v for k, v in inference_overrides.items() if v is not None}
+        )
+    if clustering_overrides:
+        config.setdefault("clustering", {}).setdefault("args", {}).update(
+            {k: v for k, v in clustering_overrides.items() if v is not None}
+        )
 
     cfg, params, state = instantiate(
         config["model"]["path"], config["model"].get("args", {})
@@ -143,3 +155,82 @@ def diarize_file(pipeline: DiarizationPipeline, wav_path: str | Path,
         out_dir.mkdir(parents=True, exist_ok=True)
         (out_dir / f"{uri}.rttm").write_text(ann.to_rttm())
     return ann
+
+
+def main(argv=None):
+    """wav.scp-driven CLI (reference DiariZenPipeline __main__,
+    diarizen/pipelines/inference.py:195-368): one RTTM per recording.
+    Files are processed through `DiarizationPipeline.stream` so each file's
+    device work overlaps the previous file's host stages."""
+    import argparse
+
+    from diarizen_tpu.core.io_rttm import load_scp
+
+    ap = argparse.ArgumentParser(
+        "python -m diarizen_tpu.pipelines",
+        description="Diarize a wav.scp with a pretrained DiariZen-style model",
+    )
+    ap.add_argument("--in_wav_scp", required=True, help="rec-id -> wav path")
+    ap.add_argument("--model_dir", required=True,
+                    help="local model dir or HF hub repo id (config.toml + ckpt)")
+    ap.add_argument("--embedding_model", default=None,
+                    help="WeSpeaker ResNet34 checkpoint (torch .bin)")
+    ap.add_argument("--rttm_out_dir", required=True)
+    # inference overrides
+    ap.add_argument("--seg_duration", type=float, default=None)
+    ap.add_argument("--segmentation_step", type=float, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--apply_median_filtering",
+                    action=argparse.BooleanOptionalAction, default=None)
+    # clustering overrides
+    ap.add_argument("--clustering_method", default=None,
+                    choices=["VBxClustering", "AgglomerativeClustering"])
+    ap.add_argument("--min_speakers", type=int, default=None)
+    ap.add_argument("--max_speakers", type=int, default=None)
+    ap.add_argument("--ahc_criterion", default=None)
+    ap.add_argument("--ahc_threshold", type=float, default=None)
+    ap.add_argument("--min_cluster_size", type=int, default=None)
+    ap.add_argument("--Fa", type=float, default=None)
+    ap.add_argument("--Fb", type=float, default=None)
+    ap.add_argument("--lda_dim", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    pipeline = from_pretrained(
+        args.model_dir,
+        embedding_ckpt=args.embedding_model,
+        rttm_out_dir=args.rttm_out_dir,
+        inference_overrides=dict(
+            seg_duration=args.seg_duration,
+            segmentation_step=args.segmentation_step,
+            batch_size=args.batch_size,
+            apply_median_filtering=args.apply_median_filtering,
+        ),
+        clustering_overrides=dict(
+            method=args.clustering_method,
+            min_speakers=args.min_speakers,
+            max_speakers=args.max_speakers,
+            ahc_criterion=args.ahc_criterion,
+            ahc_threshold=args.ahc_threshold,
+            min_cluster_size=args.min_cluster_size,
+            Fa=args.Fa, Fb=args.Fb, lda_dim=args.lda_dim,
+        ),
+    )
+    scp = load_scp(args.in_wav_scp)
+    out_dir = Path(args.rttm_out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def waves():
+        for uri, path in scp.items():
+            wave, sr = read_audio(path)
+            assert sr == pipeline.seg_inference.sample_rate, (
+                f"{path}: resample {sr} -> {pipeline.seg_inference.sample_rate}"
+            )
+            yield wave
+
+    for uri, ann in zip(scp, pipeline.stream(waves(), uris=list(scp))):
+        (out_dir / f"{uri}.rttm").write_text(ann.to_rttm())
+        print(f"{uri}: {len(ann.labels())} speakers", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,8 @@
 """Capability-inventory tests: s80 presets, Noam schedule, oracle clustering,
 aggregated inference mode, local from_pretrained loader."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -197,3 +199,69 @@ def test_gradient_accumulation_and_plateau():
         out, pstate = plateau.update(u, pstate, params, value=v)
         scales.append(float(out["w"]))
     assert scales[-1] < scales[0]
+
+
+def test_pipelines_cli_wav_scp(tmp_path):
+    """The user-facing wav.scp CLI (reference DiariZenPipeline __main__,
+    diarizen/pipelines/inference.py:195-368): one RTTM per recording, with
+    inference/clustering overrides layered over config.toml."""
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    # reuse the local-pretrained-dir fixture layout
+    (tmp_path / "config.toml").write_text("""
+[model]
+path = "test_recipes_tiny2.tiny_builder"
+[inference]
+[inference.args]
+seg_duration = 1
+batch_size = 4
+[clustering]
+[clustering.args]
+method = "AgglomerativeClustering"
+min_cluster_size = 2
+max_speakers = 4
+""")
+    builder = f'''
+import sys
+sys.path.insert(0, {_os.path.dirname(__file__)!r})
+import jax
+from test_pipeline import tiny_eend_cfg
+from diarizen_tpu.models.eend import init_eend_params
+
+def tiny_builder(**kw):
+    cfg = tiny_eend_cfg(chunk_size=1.0)
+    params, state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params, state
+'''
+    (tmp_path / "test_recipes_tiny2.py").write_text(builder)
+
+    from diarizen_tpu.core.audio import write_wav
+
+    rng = np.random.default_rng(0)
+    scp_lines = []
+    for rec in ("a", "b"):
+        wav = tmp_path / f"{rec}.wav"
+        write_wav(wav, (0.1 * rng.standard_normal((1, 16000 * 2))).astype(np.float32), 16000)
+        scp_lines.append(f"{rec} {wav}")
+    (tmp_path / "wav.scp").write_text("\n".join(scp_lines) + "\n")
+
+    env = dict(_os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=str(tmp_path) + _os.pathsep + _os.path.dirname(__file__))
+    r = subprocess.run(
+        [_sys.executable, "-m", "diarizen_tpu.pipelines",
+         "--in_wav_scp", str(tmp_path / "wav.scp"),
+         "--model_dir", str(tmp_path),
+         "--rttm_out_dir", str(tmp_path / "rttm"),
+         "--min_cluster_size", "1",
+         "--clustering_method", "AgglomerativeClustering"],
+        cwd=str(Path(__file__).resolve().parents[1]),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    for rec in ("a", "b"):
+        rttm = tmp_path / "rttm" / f"{rec}.rttm"
+        assert rttm.exists()
+        for line in rttm.read_text().splitlines():
+            assert line.startswith(f"SPEAKER {rec} 1 ")
