@@ -72,10 +72,10 @@ class SlidingInference:
         self._state = jax.device_put(state)
         model_fwd = segmentation_forward(cfg)
 
-        def whole_fwd(params, state, wave, soft: bool):
-            scores, _ = model_fwd(
-                params, state, cfg, wave, train=False, compute_dtype=compute_dtype
-            )
+        def to_multilabel(scores, soft: bool):
+            """(…, P) log-powerset scores -> multilabel: soft = exp @ mapping;
+            hard = argmax one-hot @ mapping as uint8 (binary — 4x less tunnel
+            traffic). Shared by the sliding and whole-file paths."""
             if soft:
                 return jnp.exp(scores) @ mapping
             one_hot = jax.nn.one_hot(
@@ -83,6 +83,12 @@ class SlidingInference:
                 dtype=scores.dtype,
             )
             return (one_hot @ mapping).astype(jnp.uint8)
+
+        def whole_fwd(params, state, wave, soft: bool):
+            scores, _ = model_fwd(
+                params, state, cfg, wave, train=False, compute_dtype=compute_dtype
+            )
+            return to_multilabel(scores, soft)
 
         self._whole_fwd = jax.jit(whole_fwd, static_argnames=("soft",))
 
@@ -98,14 +104,7 @@ class SlidingInference:
             scores, _ = model_fwd(
                 params, state, cfg, chunks, train=False, compute_dtype=compute_dtype
             )  # (B, F, P) log-probs
-            if soft:
-                return jnp.exp(scores) @ mapping
-            one_hot = jax.nn.one_hot(
-                jnp.argmax(scores, axis=-1), self.powerset.num_powerset_classes,
-                dtype=scores.dtype,
-            )
-            # hard multilabel is binary: ship uint8 (4x less tunnel traffic)
-            return (one_hot @ mapping).astype(jnp.uint8)  # (B, F, K)
+            return to_multilabel(scores, soft)  # (B, F, K)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P

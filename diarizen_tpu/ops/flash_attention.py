@@ -372,11 +372,13 @@ def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool,
 
 
 def _bwd_vmem_ok(h: int, t: int, d: int, itemsize: int) -> bool:
-    tp = _round_up(t, 128)
+    # MUST round tp exactly like _forward_plan's dropout branch (16-sublane):
+    # if this check and the plan ever disagree, a dropout forward could run
+    # the Pallas kernel (murmur mask) while the backward falls to the XLA vjp
+    # (bernoulli mask) — silently wrong attention-dropout gradients.
+    tp = _round_up(t, 16)
     dp_ = _round_up(d, 128)
-    io = 2 * (7 * tp * dp_ * itemsize + tp * tp * itemsize + tp * tp * 4)
-    live = 3 * tp * tp * 4  # s/w/ds f32
-    return io + live <= 14 * 1024 * 1024
+    return _bwd_vmem_ok_tp(tp, dp_, itemsize)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

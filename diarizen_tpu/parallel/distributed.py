@@ -26,23 +26,25 @@ def initialize_distributed(
 
     Must run before any backend-creating jax call — probing
     `jax.process_count()` here would itself initialize the backends and make
-    `jax.distributed.initialize` fail, so already-initialized detection goes
-    through the distributed client handle instead."""
-    from jax._src import distributed as _distributed
-
-    if getattr(_distributed.global_state, "client", None) is not None:
-        return  # distributed runtime already initialized
-    if coordinator_address is None:
-        try:
+    `jax.distributed.initialize` fail. Already-initialized detection is done
+    by catching initialize's own RuntimeError (public API only; the private
+    jax._src.distributed.global_state handle is version-unstable)."""
+    try:
+        if coordinator_address is None:
+            # auto-detectable environment (TPU pod env vars) or single-process
             jax.distributed.initialize()
-        except (RuntimeError, ValueError):
-            pass  # single-process / non-auto-detectable environment
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (RuntimeError, ValueError) as e:
+        # "already initialized" (repeat call) or a single-process environment
+        # with nothing to auto-detect — both are fine to ignore; an explicit
+        # coordinator that fails for another reason is a real error
+        if coordinator_address is not None and "already" not in str(e).lower():
+            raise
 
 
 def is_main_process() -> bool:

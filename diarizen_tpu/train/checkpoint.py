@@ -112,7 +112,11 @@ def save_checkpoint(
     opt_state: Any = None,
     meta: Optional[Dict] = None,
     max_keep: Optional[int] = None,
+    protect: Optional[set] = None,
 ) -> Path:
+    """`protect`: epoch numbers GC must never delete (the Trainer passes the
+    best-scoring epoch so every-epoch saving with validation_interval > 1
+    cannot garbage-collect the best validated checkpoint)."""
     ckpt_dir = Path(ckpt_root) / f"epoch_{epoch:04d}"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     save_pytree(ckpt_dir / "params.npz", params)
@@ -121,7 +125,7 @@ def save_checkpoint(
         save_leaves(ckpt_dir / "opt_state.npz", opt_state)
     (ckpt_dir / "meta.json").write_text(json.dumps({"epoch": epoch, **(meta or {})}))
     if max_keep is not None:
-        gc_checkpoints(ckpt_root, max_keep)
+        gc_checkpoints(ckpt_root, max_keep, protect=protect)
     return ckpt_dir
 
 
@@ -132,9 +136,13 @@ def list_checkpoints(ckpt_root: str | Path) -> List[Path]:
     return sorted(p for p in root.iterdir() if re.fullmatch(r"epoch_\d{4}", p.name))
 
 
-def gc_checkpoints(ckpt_root: str | Path, max_keep: int) -> None:
+def gc_checkpoints(ckpt_root: str | Path, max_keep: int,
+                   protect: Optional[set] = None) -> None:
     ckpts = list_checkpoints(ckpt_root)
+    protected = {f"epoch_{e:04d}" for e in (protect or ())}
     for stale in ckpts[:-max_keep]:
+        if stale.name in protected:
+            continue
         shutil.rmtree(stale)
 
 

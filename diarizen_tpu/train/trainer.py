@@ -249,6 +249,7 @@ class Trainer:
                         "epochs_without_improvement": self.epochs_without_improvement,
                     },
                     max_keep=self.tc.max_num_checkpoints,
+                    protect={self.best_epoch} if self.best_epoch >= 0 else None,
                 )
                 continue
             val_metrics = self.validate(val_loader)
@@ -288,6 +289,7 @@ class Trainer:
                     **val_metrics,
                 },
                 max_keep=self.tc.max_num_checkpoints,
+                protect={self.best_epoch} if self.best_epoch >= 0 else None,
             )
 
             if self.epochs_without_improvement >= self.tc.patience:

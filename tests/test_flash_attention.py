@@ -220,3 +220,26 @@ def test_flash_dropout_backward_consistent():
         ).sum()
 
     check_grads(f, (q, k, v, pos, gate), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+
+
+def test_dropout_plan_and_bwd_check_agree():
+    """The dropout forward plan and the backward VMEM check MUST round T
+    identically: if they ever disagree, a dropout forward could run the
+    Pallas kernel (murmur mask) while the backward falls to the XLA vjp
+    (bernoulli mask) — silently wrong gradients (code-review r4 finding)."""
+    from diarizen_tpu.ops.flash_attention import (
+        _bwd_vmem_ok,
+        _forward_plan,
+        _round_up,
+    )
+
+    for t in range(64, 801, 7):
+        for d in (64, 128):
+            for itemsize in (2, 4):
+                for h in (4, 12, 16):
+                    plan = _forward_plan(
+                        h, t, _round_up(d, 128), itemsize, rate=0.1,
+                        need_bwd=True,
+                    )
+                    if plan is not None:
+                        assert _bwd_vmem_ok(h, t, d, itemsize), (h, t, d, itemsize)

@@ -422,3 +422,17 @@ def test_dataset_short_chunk_resample_mode(kaldi_dir, tmp_path):
     assert sess_rs == "long"
     assert x_rs.shape[1] == n_samples
     assert not np.all(x_rs[:, -16000:] == 0)
+
+
+def test_checkpoint_gc_protects_best_epoch(tmp_path):
+    """With every-epoch saving and validation_interval > 1, GC must never
+    delete the best validated checkpoint (code-review r4 finding)."""
+    from diarizen_tpu.train.checkpoint import save_checkpoint
+
+    params = {"w": np.zeros(2, np.float32)}
+    for epoch in range(8):
+        save_checkpoint(tmp_path, epoch, params, {}, meta={},
+                        max_keep=3, protect={2})
+    kept = sorted(p.name for p in tmp_path.glob("epoch_*"))
+    assert "epoch_0002" in kept  # protected best survives the keep-3 window
+    assert kept[-3:] == ["epoch_0005", "epoch_0006", "epoch_0007"]
