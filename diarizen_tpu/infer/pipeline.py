@@ -353,6 +353,10 @@ class DiarizationPipeline:
     # window-sharding path owns the data movement.
     fused_stitch: bool = True
     _fused: object = field(default=None, init=False, repr=False)
+    # centroids of the most recent __call__, aligned to its labels() order
+    # (consumed by return_embeddings; per-file in stream mode is racy — use
+    # __call__ when centroids are needed)
+    _last_centroids: object = field(default=None, init=False, repr=False)
 
     def __call__(
         self,
@@ -361,12 +365,18 @@ class DiarizationPipeline:
         uri: Optional[str] = None,
         num_speakers: Optional[int] = None,
         hook: Optional[Callable] = None,
+        return_embeddings: bool = False,
     ) -> Annotation:
         """`hook(step_name, artifact, total=, completed=)` is invoked after
         every stage (and per batch inside segmentation/embedding), matching
         the reference protocol (pipelines/utils/hook.py:36-224,
         speaker_diarization.py:427-636). See `hooks.ProgressHook` /
-        `TimingHook` / `ArtifactHook`."""
+        `TimingHook` / `ArtifactHook`.
+
+        `return_embeddings=True` additionally returns the representative
+        speaker centroids, row i aligned with `annotation.labels()[i]` and
+        zero-padded for speakers without a centroid (the reference apply()'s
+        return_embeddings surface, speaker_diarization.py:433, 600-636)."""
         if waveform.ndim == 1:
             waveform = waveform[None]
         waveform = waveform[0:1]  # force SDM channel 0 (inference.py:127-128)
@@ -376,10 +386,11 @@ class DiarizationPipeline:
         # embedding stage halves the pipeline's h2d bytes)
         prepared = self.seg_inference.prepare_wave(waveform)
 
+        ann = None
         st = self._try_dispatch_fused(waveform, prepared, uri, hook)
         if st is not None:
             try:
-                return self._finish_fused(st, num_speakers, hook)
+                ann = self._finish_fused(st, num_speakers, hook)
             except Exception as e:  # noqa: BLE001 — OOM falls back to the
                 # host path (which carries its own batch-halving retry)
                 from diarizen_tpu.utils import is_oom_error
@@ -387,12 +398,16 @@ class DiarizationPipeline:
                 if not is_oom_error(e):
                     raise
 
-        segmentations = self.seg_inference(
-            waveform, sample_rate, soft=False, hook=hook, prepared=prepared
-        )
-        return self._finish_from_segmentations(
-            waveform, prepared, segmentations, uri, num_speakers, hook
-        )
+        if ann is None:
+            segmentations = self.seg_inference(
+                waveform, sample_rate, soft=False, hook=hook, prepared=prepared
+            )
+            ann = self._finish_from_segmentations(
+                waveform, prepared, segmentations, uri, num_speakers, hook
+            )
+        if return_embeddings:
+            return ann, self._last_centroids
+        return ann
 
     def stream(
         self,
@@ -606,6 +621,7 @@ class DiarizationPipeline:
 
         ann = Annotation(uri=uri)
         if count.data.size == 0 or np.nanmax(count.data) == 0:
+            self._last_centroids = np.zeros((0, 0))
             return ann  # no speech at all (speaker_diarization.py:503-509)
 
         embeddings = self.get_embeddings(
@@ -627,7 +643,7 @@ class DiarizationPipeline:
 
         min_clusters = num_speakers or self.min_speakers
         max_clusters = num_speakers or self.max_speakers
-        hard_clusters, _, _ = self.clustering(
+        hard_clusters, _, centroids = self.clustering(
             embeddings, binarized.data,
             min_clusters=min_clusters, max_clusters=max_clusters,
         )
@@ -652,9 +668,19 @@ class DiarizationPipeline:
         )
         result = to_annotation(discrete)
         result.uri = uri
+        labels = result.labels()  # sorted cluster ids
         result = result.rename_labels(
-            {label: f"SPEAKER_{i:02d}" for i, label in enumerate(result.labels())}
+            {label: f"SPEAKER_{i:02d}" for i, label in enumerate(labels)}
         )
+        # representative centroids aligned to the renamed labels() order,
+        # zero-padded for speakers beyond the centroid count (reference
+        # apply() return_embeddings semantics, speaker_diarization.py:600-636)
+        dim = centroids.shape[1] if centroids is not None and centroids.ndim == 2 else 0
+        aligned = np.zeros((len(labels), dim))
+        for i, lab in enumerate(labels):
+            if centroids is not None and 0 <= int(lab) < centroids.shape[0]:
+                aligned[i] = centroids[int(lab)]
+        self._last_centroids = aligned
         return result
 
     def get_embeddings(

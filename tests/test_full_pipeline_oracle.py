@@ -383,7 +383,7 @@ def _run_reference_chain(setup, ref_clustering):
     embeddings = setup.ref_pipeline.get_embeddings(
         setup.file, binarized, exclude_overlap=True
     )
-    hard_clusters, _, _ = ref_clustering(
+    hard_clusters, _, centroids = ref_clustering(
         embeddings=embeddings.copy(), segmentations=binarized,
         min_clusters=1, max_clusters=MAX_SPEAKERS,
     )
@@ -395,7 +395,7 @@ def _run_reference_chain(setup, ref_clustering):
     annotation = signal.Binarize(onset=0.5, offset=0.5)(discrete)
     return types.SimpleNamespace(
         binarized=binarized, count=count, embeddings=embeddings,
-        hard_clusters=raw_hard, annotation=annotation,
+        hard_clusters=raw_hard, annotation=annotation, centroids=centroids,
     )
 
 
@@ -444,7 +444,23 @@ def test_full_chain_rttm_oracle_ahc(setup, fused):
         fused_stitch=fused,
     )
     hook, artifacts = _capture_hook()
-    ann = pipeline(setup.wave, SR, uri="oracle", hook=hook)
+    ann, aligned_centroids = pipeline(
+        setup.wave, SR, uri="oracle", hook=hook, return_embeddings=True
+    )
+
+    # return_embeddings: row i of the aligned centroids corresponds to
+    # annotation.labels()[i]; labels are SPEAKER_ii renamed from the sorted
+    # surviving cluster ids, so rows must equal the reference centroids at
+    # those ids (apply() surface, speaker_diarization.py:600-636)
+    final_ids = sorted({int(c) for c in artifacts["clustering"].reshape(-1)
+                        if c >= 0})
+    active_ids = [i for i in final_ids if i < expected.centroids.shape[0]]
+    assert aligned_centroids.shape[0] == len(ann.labels())
+    for row, cid in zip(aligned_centroids, final_ids):
+        if cid in active_ids:
+            np.testing.assert_allclose(
+                row, expected.centroids[cid], rtol=2e-4, atol=2e-4
+            )
 
     # stage-by-stage parity through the hook artifacts
     np.testing.assert_array_equal(
