@@ -30,7 +30,6 @@ import numpy as np
 from diarizen_tpu.core.segments import SlidingWindow, SlidingWindowFeature
 from diarizen_tpu.models.eend import EendConfig
 from diarizen_tpu.models.forward import segmentation_forward
-from diarizen_tpu.ops.powerset import Powerset
 
 
 class SlidingInference:

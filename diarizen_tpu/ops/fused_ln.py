@@ -7,9 +7,11 @@ forward, PERF.md). Fusing each (add -> LN) pair into one kernel — and folding
 the per-layer `acc += w * LN(x)` update into the same pass with an aliased
 f32 accumulator — reads each activation tile once from HBM instead of 2-3x.
 
-Inference-path only: the training step stays on the XLA implementation (same
-math; these kernels carry no custom VJP). Off-TPU the kernels run in
-interpreter mode, so CPU tests exercise the same code path.
+Inference-path only by default (wavlm.set_fused_ln — measured slower than
+XLA in-model, see PERF.md round 4; kept as an engineering record). A custom
+VJP (XLA math) backs eval-mode gradients, e.g. the TP parity tests. Off-TPU
+the kernels run in interpreter mode, so CPU tests exercise the same code
+path.
 
 Reference math being fused (unchanged): components.py:879-958 post-norm
 EncoderLayer LNs + model_wavlm_conformer.py:252-254 weight_sum.
@@ -18,7 +20,7 @@ EncoderLayer LNs + model_wavlm_conformer.py:252-254 weight_sum.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
