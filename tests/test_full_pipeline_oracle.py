@@ -546,3 +546,89 @@ def test_whole_file_inference_matches_reference(setup):
     expected_soft = ref_whole(file, soft=True)
     got_soft = setup.seg_inf.whole(short, SR, soft=True)
     np.testing.assert_allclose(got_soft, expected_soft, rtol=5e-4, atol=5e-4)
+
+
+# --------------------------------------------------------------------------
+# pre-norm (Large-style) slide parity: layer_norm extractor + waveform norm
+# + layer_norm_first encoder — the other model family's code paths
+# --------------------------------------------------------------------------
+
+TINY_PRENORM_CONFIG = dict(
+    TINY80_CONFIG,
+    extractor_mode="layer_norm",
+    encoder_layer_norm_first=True,
+    normalize_waveform=True,
+    # pre-norm family keeps attention everywhere in the tiny config
+    encoder_use_attention=[True, True, True],
+    encoder_remaining_heads=[[0, 1, 2, 3], [1, 3], [0, 2]],
+)
+
+
+@needs_reference
+def test_slide_engine_matches_reference_prenorm(setup):
+    """Large-family (pre-norm) model through the reference engine vs
+    SlidingInference: waveform layer-norm (model.py:106-113), per-conv-layer
+    LN extractor, pre-LN encoder layers."""
+    model_mod = _ref_pkg()
+    torch.manual_seed(31)
+    wavlm_t = model_mod.wav2vec2_model(**TINY_PRENORM_CONFIG).eval()
+
+    conformer_mod = _load_file(
+        "ref_conformer_oracle2",
+        "/root/reference/diarizen/models/module/conformer.py",
+    )
+    torch.manual_seed(33)
+    conformer_t = conformer_mod.ConformerEncoder(
+        attention_in=32, ffn_hidden=64, num_head=4, num_layer=2,
+        use_posi=False, output_activate_function=False,
+    ).eval()
+    n_layers = TINY_PRENORM_CONFIG["encoder_num_layers"] + 1
+
+    class RefEend(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.wavlm_model = wavlm_t
+            self.weight_sum = torch.nn.Linear(n_layers, 1, bias=False)
+            self.proj = torch.nn.Linear(64, 32)
+            self.lnorm = torch.nn.LayerNorm(32)
+            self.conformer = conformer_t
+            self.classifier = torch.nn.Linear(32, 11)
+
+        def forward(self, waveforms):
+            waveforms = waveforms[:, 0, :]
+            layer_reps, _ = self.wavlm_model.extract_features(waveforms)
+            feat = torch.stack(layer_reps, dim=-1)
+            feat = self.weight_sum(feat).squeeze(-1)
+            out = self.lnorm(self.proj(feat))
+            out = self.conformer(out)
+            return torch.log_softmax(self.classifier(out), dim=-1)
+
+    torch.manual_seed(37)
+    eend_t = RefEend().eval()
+
+    cfg = EendConfig(
+        wavlm=WavLMConfig.from_reference_dict(TINY_PRENORM_CONFIG),
+        conformer=ConformerConfig(dim=32, ffn_hidden=64, num_heads=4,
+                                  num_layers=2, use_posi=False,
+                                  output_activation=None),
+        wavlm_layer_num=n_layers, wavlm_feat_dim=64, attention_in=32,
+        chunk_size=DURATION,
+    )
+    params, state = eend_params_from_torch(eend_t.state_dict(), cfg)
+    seg_inf = SlidingInference(params, state, cfg, duration=DURATION,
+                               step=STEP, batch_size=5,
+                               compute_dtype=jnp.float32)
+
+    inference_mod = sys.modules["pyannote.audio.core.inference"]
+    rf = _reference_rf_window(TINY_PRENORM_CONFIG["extractor_conv_layer_config"])
+    ref_inference = inference_mod.Inference(
+        TorchSegModel(eend_t, rf), duration=DURATION, step=STEP,
+        skip_aggregation=True, batch_size=5, device=torch.device("cpu"),
+    )
+    file = dict(setup.file)
+    ref_soft = ref_inference(file, soft=True)
+    got_soft = seg_inf(setup.wave, SR, soft=True)
+    assert ref_soft.data.shape == got_soft.data.shape == (15, 399, 4)
+    np.testing.assert_allclose(
+        np.asarray(got_soft.data), ref_soft.data, rtol=7e-4, atol=7e-4
+    )
