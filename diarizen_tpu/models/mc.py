@@ -308,6 +308,9 @@ def attention_weighted_embeddings(
     Returns (num_chunks, S, D).
     """
     att = spatial_attention[:, fusion_layer]  # (chunks, F, C, C)
+    # raw means, NOT re-normalized: the reference uses them as-is
+    # (infer_avg.py:35-37), and softmax attention rows already make the
+    # per-chunk weights sum to 1 (mean over frames and source channels of
+    # row-stochastic rows) — pinned by the live-reference oracle test
     weights = att.mean(axis=(1, 2))  # (chunks, C)
-    weights = weights / np.maximum(weights.sum(axis=-1, keepdims=True), 1e-9)
     return np.einsum("ncsd,nc->nsd", per_channel_embeddings, weights)

@@ -191,3 +191,48 @@ def test_mc_pipeline_end_to_end():
     assert ann.uri == "mc"
     for line in ann.to_rttm().splitlines():
         assert line.startswith("SPEAKER mc")
+
+
+def test_attention_weighted_embeddings_reference_oracle():
+    """attention_weighted_embeddings vs the LIVE reference att_enhanced_emb
+    (recipes/diar_ssl_mc/infer_avg.py:29-41) on random inputs — layer
+    selection, mean axes, and einsum order all pinned."""
+    import sys
+    import types
+
+    import ref_shim
+
+    pytest.importorskip("torch")
+    ref_shim.install_shim()
+    # infer_avg.py imports torchaudio (absent in this env) and a few
+    # pipeline symbols at module scope; none are used by att_enhanced_emb
+    sys.modules.setdefault("torchaudio", types.ModuleType("torchaudio"))
+    sys.modules.setdefault("toml", types.ModuleType("toml"))
+    m = sys.modules["pyannote.metrics"]
+    seg_mod = types.ModuleType("pyannote.metrics.segmentation")
+    seg_mod.Annotation = ref_shim.Annotation
+    seg_mod.Segment = ref_shim.Segment
+    sys.modules["pyannote.metrics.segmentation"] = seg_mod
+    pa_pipelines = sys.modules["pyannote.audio.pipelines"]
+    if not hasattr(pa_pipelines, "SpeakerDiarization"):
+        pa_pipelines.SpeakerDiarization = object
+    sig = ref_shim.load_ref_signal()
+    ckpt_mod = types.ModuleType("diarizen.ckpt_utils")
+    ckpt_mod.load_metric_summary = lambda *a, **k: None
+    sys.modules["diarizen.ckpt_utils"] = ckpt_mod
+
+    ref = ref_shim._load(
+        "ref_mc_infer_avg", "/root/reference/recipes/diar_ssl_mc/infer_avg.py"
+    )
+
+    rng = np.random.default_rng(3)
+    B, L, T, C, S, D = 6, 4, 11, 3, 4, 16
+    att = rng.random((B, L, T, C, C))
+    emb_cbsd = rng.standard_normal((C, B, S, D))
+    expected = ref.att_enhanced_emb(att, emb_cbsd.copy())
+
+    # ours takes (chunks, C, S, D) and the (B, L, T, C, C) attention
+    got = attention_weighted_embeddings(
+        np.transpose(emb_cbsd, (1, 0, 2, 3)), att, fusion_layer=3
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-10, atol=1e-12)
