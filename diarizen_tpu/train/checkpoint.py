@@ -213,8 +213,12 @@ def select_checkpoints(
 ) -> List[Path]:
     """Select N checkpoint dirs for averaging.
 
-    mode='best': N lowest-metric epochs; 'prev': last N epochs;
-    'center': N epochs centered on the best (reference infer_avg.py:274-290).
+    Reference semantics (recipes/diar_ssl/infer_avg.py:274-290):
+    mode='best': the N lowest-metric epochs; 'prev': the N epochs ENDING at
+    the best one in epoch order (epochs [best-N+1 .. best] — "to the
+    converged moment", same as ckpt_utils.average_ckpt:93-99);
+    'center': epochs [best-N//2 .. best+N//2] around the best (N odd in the
+    reference recipes). Slices are clamped at epoch 0 instead of wrapping.
     Only epochs whose checkpoint still exists are considered.
     """
     root = Path(ckpt_root)
@@ -226,14 +230,14 @@ def select_checkpoints(
         return []
     if mode == "best":
         rows = sorted(rows, key=lambda m: m[metric])[:num]
-    elif mode == "prev":
-        rows = sorted(rows, key=lambda m: m["epoch"])[-num:]
-    elif mode == "center":
+    elif mode in ("prev", "center"):
         rows_sorted = sorted(rows, key=lambda m: m["epoch"])
         best_i = int(np.argmin([m[metric] for m in rows_sorted]))
-        half = num // 2
-        lo = max(0, best_i - half)
-        rows = rows_sorted[lo : lo + num]
+        if mode == "prev":
+            lo, hi = best_i - num + 1, best_i + 1
+        else:
+            lo, hi = best_i - num // 2, best_i + num // 2 + 1
+        rows = rows_sorted[max(0, lo) : hi]
     else:
         raise ValueError(f"unknown mode {mode}")
     return [existing[m["epoch"]] for m in rows]

@@ -436,3 +436,29 @@ def test_checkpoint_gc_protects_best_epoch(tmp_path):
     kept = sorted(p.name for p in tmp_path.glob("epoch_*"))
     assert "epoch_0002" in kept  # protected best survives the keep-3 window
     assert kept[-3:] == ["epoch_0005", "epoch_0006", "epoch_0007"]
+
+
+def test_select_checkpoints_reference_modes(tmp_path):
+    """prev/center selection pins the reference semantics
+    (recipes/diar_ssl/infer_avg.py:278-290): prev = the N epochs ENDING at
+    the best one in epoch order ("to the converged moment",
+    ckpt_utils.average_ckpt:93-99), center = best +- N//2."""
+    from diarizen_tpu.train.checkpoint import save_checkpoint, select_checkpoints
+
+    params = {"w": np.zeros(1, np.float32)}
+    losses = [5.0, 4.0, 3.5, 2.0, 2.5, 2.2, 3.0, 3.1]  # best at epoch 3
+    metrics = []
+    for epoch, loss in enumerate(losses):
+        save_checkpoint(tmp_path, epoch, params, {}, meta={})
+        metrics.append({"epoch": epoch, "loss": loss})
+
+    def epochs(mode, num):
+        return [int(p.name.split("_")[1])
+                for p in select_checkpoints(metrics, tmp_path, num=num,
+                                            metric="loss", mode=mode)]
+
+    assert epochs("best", 3) == [3, 5, 4]  # lowest losses: 2.0, 2.2, 2.5
+    assert epochs("prev", 3) == [1, 2, 3]  # ending AT the best epoch
+    assert epochs("center", 3) == [2, 3, 4]  # best +- 1
+    # clamped at epoch 0 instead of wrapping (reference would slice-wrap)
+    assert epochs("prev", 6) == [0, 1, 2, 3]
