@@ -124,12 +124,22 @@ class FusedStitch:
             + 1
         )
 
+    def _bucket_pad(self, n: int) -> int:
+        """Tiered compile buckets shared with the wave-length padding
+        (sliding.chunk_length_bucket): padded chunks only flow through the
+        elementwise stitch (segmentation/embedding always run on the REAL
+        chunks), so coarse long-file buckets cost ~nothing while cutting
+        per-length compiles 8x."""
+        from diarizen_tpu.infer.sliding import chunk_length_bucket
+
+        return chunk_length_bucket(n, base=self.bucket)
+
     def plan(self, num_chunks: int) -> Optional[dict]:
         """Static layout for a file with `num_chunks` chunks, or None when
         the chunk->frame mapping is not affine (host path handles it)."""
         if num_chunks < 1:
             return None
-        n_pad = ((num_chunks + self.bucket - 1) // self.bucket) * self.bucket
+        n_pad = self._bucket_pad(num_chunks)
         starts = self._frame_starts(n_pad)
         base, hop = int(starts[0]), int(starts[1] - starts[0]) if n_pad > 1 else 0
         if n_pad > 1 and (

@@ -20,6 +20,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, Optional, Tuple
 
@@ -30,6 +31,23 @@ import numpy as np
 from diarizen_tpu.core.segments import SlidingWindow, SlidingWindowFeature
 from diarizen_tpu.models.eend import EendConfig
 from diarizen_tpu.models.forward import segmentation_forward
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _pad_to(wave: jnp.ndarray, extra: int) -> jnp.ndarray:
+    """Device-side zero-pad (prepare_wave length bucketing)."""
+    return jnp.pad(wave, (0, extra))
+
+
+def chunk_length_bucket(n: int, base: int = 32) -> int:
+    """Tiered compile buckets over chunk counts: multiples of `base` (32)
+    up to 1024, multiples of 256 above. Shared by the wave-length padding
+    below and FusedStitch so every per-length jit (segmentation forward,
+    shared fbank, stitch) specializes once per BUCKET, not once per exact
+    file length — each full-model compile costs 40-100 s through the
+    remote-compile tunnel (PERF.md round 4)."""
+    b = base if n <= 1024 else max(base, 256)
+    return ((n + b - 1) // b) * b
 
 
 class SlidingInference:
@@ -203,10 +221,20 @@ class SlidingInference:
         n_complete, has_last = self.num_chunks(num_samples)
         total = n_complete + has_last
         starts = np.arange(total, dtype=np.int64) * self.step_size
-        # zero-pad so every window gather (incl. the orphan last chunk and the
-        # batch padding) stays in bounds
+        # pad so every window gather (incl. the orphan last chunk and the
+        # batch padding) stays in bounds — to the BUCKETED chunk count, so
+        # the device wave shape (and with it every downstream jit: the
+        # segmentation forward, the shared full-file fbank) specializes once
+        # per length bucket instead of once per exact file length. The
+        # bucket padding happens ON DEVICE (a tiny per-length pad program):
+        # the host->device transfer still ships only the real samples
+        # (+ sub-window rounding), so tunnel bytes are unchanged.
         pad_to = starts[-1] + self.window_size if total else self.window_size
         pad_to = max(pad_to, self.window_size)
+        n_bucket = chunk_length_bucket(max(total, 1))
+        pad_to_bucket = max(
+            pad_to, (n_bucket - 1) * self.step_size + self.window_size
+        )
 
         scaled = waveform.astype(np.float32) * 32768.0
         if (
@@ -218,7 +246,10 @@ class SlidingInference:
         else:
             wave = np.zeros(pad_to, dtype=np.float32)
             wave[:num_samples] = waveform
-        return jax.device_put(wave), starts
+        wave_device = jax.device_put(wave)
+        if pad_to_bucket > pad_to:
+            wave_device = _pad_to(wave_device, int(pad_to_bucket - pad_to))
+        return wave_device, starts
 
     def __call__(
         self,

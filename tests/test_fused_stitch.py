@@ -144,3 +144,26 @@ def test_pipeline_fused_equals_host(tmp_path):
         got = build(True)(w, sr, uri="x")
         ref = build(False)(w, sr, uri="x")
         assert got.to_rttm() == ref.to_rttm()
+
+
+def test_tiered_chunk_buckets():
+    """Long files use coarse compile buckets (multiples of 256 above 1024
+    chunks); short files keep the fine 32-chunk buckets. Padded chunks only
+    touch the elementwise stitch, so the coarse tier is compute-free."""
+    from diarizen_tpu.core.segments import SlidingWindow
+    from diarizen_tpu.infer.fused import FusedStitch
+
+    fs = FusedStitch(
+        frames=SlidingWindow(start=-0.0006875, duration=0.005625, step=0.005),
+        chunk_window=SlidingWindow(start=0.0, duration=2.0, step=0.4),
+        frames_per_chunk=399, num_speakers=4,
+    )
+    assert fs._bucket_pad(1) == 32
+    assert fs._bucket_pad(141) == 160
+    assert fs._bucket_pad(1024) == 1024
+    assert fs._bucket_pad(1025) == 1280
+    assert fs._bucket_pad(2248) == 2304  # 30-min file: 2.5% stitch padding
+    for n in (1025, 2248, 4497):
+        plan = fs.plan(n)
+        assert plan is not None and plan["n_true"] == n
+        assert plan["n_pad"] % 256 == 0 and plan["n_pad"] >= n

@@ -349,3 +349,35 @@ def test_full_pipeline_runs_on_example_wav(tmp_path):
     assert [a.uri for a in streamed] == uris
     for w, u, got in zip(waves, uris, streamed):
         assert got.to_rttm() == pipeline(w, sr, uri=u).to_rttm()
+
+
+def test_wave_length_bucketing_shares_shapes():
+    """Files whose chunk counts fall in one tier bucket share the device
+    wave shape, so every per-length jit (seg forward, shared fbank, stitch)
+    compiles once per BUCKET — cross-length recompiles were 76 s/file
+    through the remote-compile tunnel (PERF.md round 4). Transfers still
+    ship only the real samples; outputs are unchanged (the full-pipeline
+    oracle runs at a non-bucket-aligned length)."""
+    from diarizen_tpu.infer.sliding import chunk_length_bucket
+
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = init_eend_params(jax.random.PRNGKey(0), cfg)
+    inf = SlidingInference(params, state, cfg, batch_size=8)
+
+    w1 = np.zeros((1, 16000 * 8), np.float32)   # 31 chunks
+    w2 = np.zeros((1, 16000 * 9), np.float32)   # 36 chunks -> different bucket
+    w3 = np.zeros((1, 16000 * 8 - 5000), np.float32)  # same bucket as w1
+    d1, s1 = inf.prepare_wave(w1)
+    d2, s2 = inf.prepare_wave(w2)
+    d3, s3 = inf.prepare_wave(w3)
+    assert d1.shape == d3.shape  # shared compile bucket
+    assert d1.shape != d2.shape
+    assert len(s1) != len(s3)  # real chunk grids still differ
+
+    assert chunk_length_bucket(1024) == 1024
+    assert chunk_length_bucket(1025) == 1280
+    assert chunk_length_bucket(2248) == 2304
+
+    # outputs at a non-bucket length equal the per-chunk forward exactly
+    out = inf(w3, 16000, soft=False)
+    assert out.data.shape[0] == len(s3)
