@@ -559,10 +559,26 @@ class DiarizationPipeline:
 
         ann = Annotation(uri=st["uri"])
         if count.data.size == 0 or np.nanmax(count.data) == 0:
+            # reset, else return_embeddings would hand back the PREVIOUS
+            # file's centroids; (0, dim) matches the reference's
+            # np.zeros((0, dimension)) (speaker_diarization.py:503-509)
+            self._last_centroids = np.zeros((0, self._embedding_dim()))
             return ann  # no speech (speaker_diarization.py:503-509)
         return self._cluster_and_reconstruct(
             segmentations, count, embeddings, st["uri"], num_speakers, hook
         )
+
+    def _embedding_dim(self) -> int:
+        """Embedding dimensionality of the configured embedder, for the
+        reference-matching np.zeros((0, dimension)) no-speech centroid shape
+        (speaker_diarization.py:506). Duck-typed test embedders without a
+        cfg fall back to 0 columns."""
+        cfg = getattr(self.emb_inference, "cfg", None)
+        for attr in ("embed_dim", "dimension"):
+            dim = getattr(cfg, attr, None)
+            if dim is not None:
+                return int(dim)
+        return 0
 
     def _collect_segmentations(self, st, hook):
         try:
@@ -621,7 +637,7 @@ class DiarizationPipeline:
 
         ann = Annotation(uri=uri)
         if count.data.size == 0 or np.nanmax(count.data) == 0:
-            self._last_centroids = np.zeros((0, 0))
+            self._last_centroids = np.zeros((0, self._embedding_dim()))
             return ann  # no speech at all (speaker_diarization.py:503-509)
 
         embeddings = self.get_embeddings(

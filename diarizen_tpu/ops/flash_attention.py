@@ -58,11 +58,14 @@ def _forward_plan(h: int, t: int, dp: int, itemsize: int, rate: float,
     if rate > 0.0:
         # dropout needs a SINGLE q-block per head (bq == tp) so the backward
         # regenerates identical masks — search head-blocks at full-T panels
-        # (16-sublane rounding, not 128: T=399 panels are 400 not 512)
+        # (16-sublane rounding, not 128: T=399 panels are 400 not 512).
+        # The dropout mask is a pure function of ABSOLUTE (row, col) indices,
+        # so the backward's larger 128-rounded panels regenerate the same
+        # mask on the valid region.
         tp = _round_up(t, 16)
         if tp > MAX_BQ:
             return None
-        if need_bwd and not _bwd_vmem_ok_tp(tp, dp, itemsize):
+        if need_bwd and not _bwd_vmem_ok_tp(_bwd_gate_tp(t), dp, itemsize):
             return None
         for hb in (6, 4, 3, 2, 1):
             if h % hb == 0 and _vmem_bytes(hb, tp, tp, dp, itemsize) <= VMEM_BUDGET:
@@ -75,6 +78,13 @@ def _forward_plan(h: int, t: int, dp: int, itemsize: int, rate: float,
     bq = min(bq, MAX_BQ)
     tp = _round_up(t, bq)
     return hb, bq, tp
+
+
+def _bwd_gate_tp(t: int) -> int:
+    """The tp the launched backward kernel ACTUALLY pads to — single source
+    of truth for _flash_bwd, _bwd_vmem_ok and _forward_plan's need_bwd
+    check (they must all model the same kernel)."""
+    return _round_up(t, 128)
 
 
 def _bwd_vmem_ok_tp(tp: int, dp_: int, itemsize: int) -> bool:
@@ -320,8 +330,13 @@ def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool,
     b, h, t, d = q.shape
     scale = 1.0 / np.sqrt(d)
     dp_ = _round_up(d, 128)
-    # full-T blocks; backward working set ~ (4 io + 3 f32 TpxTp) per head
-    tp = _round_up(t, 128)
+    # full-T blocks; backward working set ~ (4 io + 3 f32 TpxTp) per head.
+    # tp rounds to 128, NOT the forward's tight 16: tp is also a LANE dim of
+    # the square score/dP panels here, and a 400-lane panel forces masked
+    # lane handling — measured on-chip (round 5, within-session A/B, full
+    # train step): tp=512 159.9 ms/step vs tp=400 173.1 ms/step despite 64%
+    # more panel area. _bwd_gate_tp keeps the VMEM gates in sync with this.
+    tp = _bwd_gate_tp(t)
     hb = 1
     pads4 = [(0, 0), (0, 0), (0, tp - t), (0, dp_ - d)]
     qf, kf, vf, dof = (jnp.pad(x, pads4) for x in (q, k, v, do))
@@ -372,11 +387,15 @@ def _flash_bwd(q, k, v, pos_bias, gate, do, interpret: bool,
 
 
 def _bwd_vmem_ok(h: int, t: int, d: int, itemsize: int) -> bool:
-    # MUST round tp exactly like _forward_plan's dropout branch (16-sublane):
-    # if this check and the plan ever disagree, a dropout forward could run
-    # the Pallas kernel (murmur mask) while the backward falls to the XLA vjp
-    # (bernoulli mask) — silently wrong attention-dropout gradients.
-    tp = _round_up(t, 16)
+    # MUST round tp exactly like _flash_bwd's padding (128): if the gate
+    # under-estimates (the round-4 bug rounded to 16 here while the kernel
+    # padded to 128), it can pass a kernel whose real working set overflows
+    # VMEM — a Mosaic failure instead of the intended XLA fallback. The
+    # forward plan's need_bwd check routes through _bwd_gate_tp too, so a
+    # dropout forward can never run the Pallas kernel (murmur mask) while
+    # the backward falls to the XLA vjp (bernoulli mask) — that split would
+    # mean silently wrong attention-dropout gradients.
+    tp = _bwd_gate_tp(t)
     dp_ = _round_up(d, 128)
     return _bwd_vmem_ok_tp(tp, dp_, itemsize)
 

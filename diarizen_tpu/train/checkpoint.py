@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import re
 import shutil
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -238,6 +239,16 @@ def select_checkpoints(
         else:
             lo, hi = best_i - num // 2, best_i + num // 2 + 1
         rows = rows_sorted[max(0, lo) : hi]
+        if len(rows) < num:
+            # the reference asserts len == avg_ckpt_num and dies
+            # (infer_avg.py:286); we average what survives the clamp but
+            # never silently — a short average changes the result
+            warnings.warn(
+                f"select_checkpoints(mode={mode!r}): only {len(rows)} of the "
+                f"requested {num} checkpoints exist around the best epoch "
+                f"(best at index {best_i}); averaging {len(rows)}",
+                stacklevel=2,
+            )
     else:
         raise ValueError(f"unknown mode {mode}")
     return [existing[m["epoch"]] for m in rows]

@@ -243,3 +243,32 @@ def test_dropout_plan_and_bwd_check_agree():
                     )
                     if plan is not None:
                         assert _bwd_vmem_ok(h, t, d, itemsize), (h, t, d, itemsize)
+
+
+def test_bwd_gate_models_launched_kernel_padding():
+    """The VMEM gate must use the SAME tp the launched backward pads to
+    (advisor finding, round 4: the gate rounded t to 16 while _flash_bwd
+    padded to 128, so t in the straddle band — e.g. f32 d=64, t~577-592 —
+    passed the gate with a real working set ~16 MB > the 14 MB cap)."""
+    from diarizen_tpu.ops.flash_attention import (
+        _bwd_gate_tp,
+        _bwd_vmem_ok,
+        _bwd_vmem_ok_tp,
+        _round_up,
+    )
+
+    for t in range(64, 1025, 1):
+        assert _bwd_gate_tp(t) == _round_up(t, 128)
+        for d in (64, 128):
+            for itemsize in (2, 4):
+                # the gate's verdict equals the verdict computed with the
+                # kernel's true padding — no straddle band survives
+                assert _bwd_vmem_ok(4, t, d, itemsize) == _bwd_vmem_ok_tp(
+                    _round_up(t, 128), _round_up(d, 128), itemsize
+                )
+    # the round-4 straddle case specifically: f32, d=64, t=580
+    t, d, itemsize = 580, 64, 4
+    loose = _bwd_vmem_ok_tp(_round_up(t, 16), _round_up(d, 128), itemsize)
+    tight = _bwd_vmem_ok_tp(_round_up(t, 128), _round_up(d, 128), itemsize)
+    assert loose and not tight  # the band exists...
+    assert not _bwd_vmem_ok(4, t, d, itemsize)  # ...and the gate rejects it

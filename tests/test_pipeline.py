@@ -381,3 +381,44 @@ def test_wave_length_bucketing_shares_shapes():
     # outputs at a non-bucket length equal the per-chunk forward exactly
     out = inf(w3, 16000, soft=False)
     assert out.data.shape[0] == len(s3)
+
+
+def test_no_speech_centroids_reset_both_paths():
+    """return_embeddings on a no-speech file must yield np.zeros((0, dim))
+    — the reference's shape (speaker_diarization.py:506) — and must NOT
+    leak the previous file's centroids through the fused path's early
+    return (advisor finding, round 4)."""
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    # force the empty powerset class everywhere: zero classifier weights,
+    # huge bias on class 0 ({} in the size-then-lex ordering, ops/powerset.py)
+    import jax.numpy as jnp
+
+    params["classifier"]["w"] = jnp.zeros_like(params["classifier"]["w"])
+    params["classifier"]["b"] = (
+        jnp.zeros_like(params["classifier"]["b"]).at[0].set(100.0)
+    )
+
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    rparams = init_resnet_params(jax.random.PRNGKey(1), rcfg)
+
+    for fused in (True, False):
+        seg_inf = SlidingInference(params, state, cfg, batch_size=8)
+        emb_inf = EmbeddingInference(
+            rparams, rcfg, window_size=seg_inf.window_size,
+            num_speakers=cfg.max_speakers_per_chunk, batch_size=8,
+        )
+        pipeline = DiarizationPipeline(
+            seg_inference=seg_inf,
+            emb_inference=emb_inf,
+            clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=3),
+            eend_cfg=cfg,
+            max_speakers=4,
+            fused_stitch=fused,
+        )
+        # poison _last_centroids as if a previous file had speech
+        pipeline._last_centroids = np.ones((3, 32), np.float32)
+        wave = np.random.default_rng(0).standard_normal((1, 16000 * 6)).astype(np.float32)
+        ann, cents = pipeline(wave, 16000, uri="nospeech", return_embeddings=True)
+        assert len(ann) == 0, f"fused={fused}: expected empty annotation"
+        assert cents.shape == (0, 32), f"fused={fused}: got {cents.shape}"
