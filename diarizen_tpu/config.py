@@ -52,8 +52,41 @@ def dump_toml(config: Dict[str, Any], path: str | Path) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+# Reference-ecosystem path aliases: a released DiariZen artifact's
+# config.toml names the REFERENCE's own classes (e.g.
+# `[model] path = "diarizen.models.eend.model_wavlm_conformer.Model"`,
+# recipes/diar_ssl/conf/wavlm_updated_conformer.toml:35; consumed by the hub
+# loader at diarizen/pipelines/inference.py:34-58 ->
+# pyannote core/model.py:360-369). Mapping them onto the builders that mirror
+# those constructors arg-for-arg makes unedited released snapshots (and
+# verbatim reference training TOMLs) load drop-in. Recipe-local module paths
+# ("trainer_dual_opt.Trainer", "dataset.DiarizationDataset") and
+# "torch.optim.AdamW" resolve to the equivalent repo classes/shims.
+REFERENCE_PATH_ALIASES = {
+    "diarizen.models.eend.model_wavlm_conformer.Model":
+        "diarizen_tpu.models.build.wavlm_conformer",
+    "diarizen.models.eend.model_wavlm_conformer_mc.Model":
+        "diarizen_tpu.models.build.wavlm_conformer_mc",
+    "diarizen.models.eend.model_fbank_conformer.Model":
+        "diarizen_tpu.models.build.fbank_conformer",
+    "diarizen.models.eend.model_pyannote.Model":
+        "diarizen_tpu.models.build.pyannote_baseline",
+    "diarizen.models.pruning.model_distill_prune.Model":
+        "diarizen_tpu.models.build.distill_prune",
+    "diarizen.models.pruning.utils.DistillLoss":
+        "diarizen_tpu.prune.distill.distill_loss_fn",
+    "trainer_dual_opt.Trainer": "diarizen_tpu.train.trainer.Trainer",
+    "trainer_single_opt.Trainer": "diarizen_tpu.train.trainer.Trainer",
+    "dataset.DiarizationDataset": "diarizen_tpu.train.dataset.DiarizationDataset",
+    "torch.optim.AdamW": "diarizen_tpu.train.optim.adamw_torch_args",
+}
+
+
 def resolve(path: str) -> Any:
-    """'pkg.mod.Name' -> attribute."""
+    """'pkg.mod.Name' -> attribute. Reference class paths (released
+    DiariZen artifacts, verbatim reference recipe TOMLs) are aliased to the
+    equivalent repo builders — see REFERENCE_PATH_ALIASES."""
+    path = REFERENCE_PATH_ALIASES.get(path, path)
     module_name, _, attr = path.rpartition(".")
     module = importlib.import_module(module_name)
     return getattr(module, attr)

@@ -223,9 +223,15 @@ class FusedStitch:
 
         return jax.jit(stitch)
 
-    def stitch(self, seg_dev: jnp.ndarray, plan: dict):
-        """(n_true, F, S) uint8 device segmentation -> (packed, counts,
-        weights[:n_true]) device arrays. No host sync."""
+    def stitch(self, seg_dev, plan: dict):
+        """Device segmentation (DeviceRows bucket buffer from
+        SlidingInference.dispatch, or a plain (n_true, F, S) uint8 array) ->
+        (packed, counts, weights) device arrays; `weights` keeps all n_pad
+        rows (bucket-shaped — the embedding dispatch slices real batches
+        with traced offsets so nothing compiles per exact length). No host
+        sync."""
+        from diarizen_tpu.infer.sliding import DeviceRows
+
         n_pad = plan["n_pad"]
         key = n_pad
         if key not in self._jit_cache:
@@ -233,14 +239,18 @@ class FusedStitch:
                 n_pad, plan["base"], plan["hop"], plan["num_frames_pad"]
             )
         n_true = plan["n_true"]
+        if isinstance(seg_dev, DeviceRows):
+            seg_dev = seg_dev.buf  # bucket-shaped already; padding rows zero
         if seg_dev.shape[0] < n_pad:
             seg_dev = jnp.pad(
                 seg_dev, ((0, n_pad - seg_dev.shape[0]), (0, 0), (0, 0))
             )
+        elif seg_dev.shape[0] > n_pad:
+            seg_dev = seg_dev[:n_pad]
         packed, counts, weights = self._jit_cache[key](
             seg_dev, jnp.asarray(n_true, jnp.int32)
         )
-        return packed, counts, weights[:n_true]
+        return packed, counts, weights
 
     # ---- merged single-fetch transport ---------------------------------
 
@@ -272,7 +282,9 @@ class FusedStitch:
         return (
             binarized,
             counts[: plan["num_frames_true"]].reshape(-1, 1).copy(),
-            emb.astype(np.float64),
+            # embeddings may ride in a bucket-shaped buffer (rows >= n_true
+            # are zeros/overlap duplicates) — keep only the real chunks
+            emb[:n].astype(np.float64),
         )
 
 

@@ -238,6 +238,24 @@ class EmbeddingInference:
             self._params, feats, starts, weights
         )
 
+        # bucket-buffer accumulation variants (zero per-exact-length
+        # compiles — see SlidingInference.dispatch)
+        def acc(base):
+            def fwd_acc(params, buf, src, starts, weights, offset):
+                out = base(params, src, starts, weights)
+                return jax.lax.dynamic_update_slice(
+                    buf, out.astype(buf.dtype), (offset, 0, 0)
+                )
+
+            j = jax.jit(fwd_acc, donate_argnums=(1,))
+            return lambda buf, src, starts, weights, offset: j(
+                self._params, buf, src, starts, weights, offset
+            )
+
+        self._fwd_acc = acc(fwd)
+        self._fwd_feats_acc = acc(fwd_feats)
+        self._embed_dim = int(getattr(cfg, "embed_dim", 0) or 256)
+
     @property
     def min_num_samples(self) -> int:
         """Smallest crop yielding >= 1 embedding frame (the reference probes
@@ -276,49 +294,88 @@ class EmbeddingInference:
         return min(self.batch_size, ((n_real + q - 1) // q) * q)
 
     def dispatch(self, wave_device, starts, weights, hook=None):
-        """Enqueue all batches; returns one device-side concat (no host
-        sync). See SlidingInference.dispatch for the overlap rationale."""
+        """Enqueue all batches; returns one device-side result (no host
+        sync). Single-device path accumulates into a bucket-shaped buffer
+        (DeviceRows) so no compiled program keys on the exact chunk count
+        — see SlidingInference.dispatch; mesh path keeps the sharded
+        per-batch concat."""
         n = len(starts)
+        if n == 0:
+            return None
         starts = np.asarray(starts)
-        fwd = self._fwd
+        fwd, fwd_acc = self._fwd, self._fwd_acc
         src = wave_device
         if (
             self.shared_fbank
-            and n
             and (starts % self._frame_shift == 0).all()
         ):
             # one full-file fbank on device; batches gather frame windows
             src = self._prep(wave_device)
             starts = starts // self._frame_shift
-            fwd = self._fwd_feats
-        pending = []
-        for b0 in range(0, n, self.batch_size):
-            sb = starts[b0 : b0 + self.batch_size]
-            wb = weights[b0 : b0 + self.batch_size]
-            n_real = len(sb)
-            if n_real < self.batch_size:
-                # right-size the tail batch (see SlidingInference.dispatch)
-                padded = self._tail_size(n_real)
-                sb = np.pad(sb, (0, padded - n_real))
-                pad_spec = ((0, padded - n_real), (0, 0), (0, 0))
-                # weights may live on device already (fused stitch path) —
-                # pad there, no host sync
-                wb = (
-                    jnp.pad(wb, pad_spec)
-                    if isinstance(wb, jnp.ndarray)
-                    else np.pad(wb, pad_spec)
-                )
-            out = fwd(src, jnp.asarray(sb, jnp.int32), jnp.asarray(wb))
-            pending.append((out, n_real))
-            if hook is not None:
-                hook("embeddings", None, total=n, completed=b0 + n_real)
-        if not pending:
-            return None
-        return (
-            pending[0][0][: pending[0][1]]
-            if len(pending) == 1
-            else jnp.concatenate([o[:nr] for o, nr in pending])
+            fwd, fwd_acc = self._fwd_feats, self._fwd_feats_acc
+
+        if self.mesh is not None:
+            pending = []
+            for b0 in range(0, n, self.batch_size):
+                sb = starts[b0 : b0 + self.batch_size]
+                wb = weights[b0 : b0 + self.batch_size]
+                n_real = len(sb)
+                if n_real < self.batch_size:
+                    padded = self._tail_size(n_real)
+                    sb = np.pad(sb, (0, padded - n_real))
+                    pad_spec = ((0, padded - n_real), (0, 0), (0, 0))
+                    wb = (
+                        jnp.pad(wb, pad_spec)
+                        if isinstance(wb, jnp.ndarray)
+                        else np.pad(wb, pad_spec)
+                    )
+                out = fwd(src, jnp.asarray(sb, jnp.int32), jnp.asarray(wb))
+                pending.append((out, n_real))
+                if hook is not None:
+                    hook("embeddings", None, total=n, completed=b0 + n_real)
+            return (
+                pending[0][0][: pending[0][1]]
+                if len(pending) == 1
+                else jnp.concatenate([o[:nr] for o, nr in pending])
+            )
+
+        from diarizen_tpu.infer.sliding import (
+            DeviceRows,
+            _slice_rows,
+            _zero_rows,
+            chunk_length_bucket,
         )
+
+        weights_on_device = isinstance(weights, jnp.ndarray)
+        n_rows = chunk_length_bucket(n)
+        buf = _zero_rows(
+            (n_rows, self.num_speakers, self._embed_dim), jnp.float32
+        )
+        for b0 in range(0, n, self.batch_size):
+            n_real = min(self.batch_size, n - b0)
+            if n_real == self.batch_size:
+                off, blen, pad = b0, self.batch_size, 0
+            else:
+                padded = self._tail_size(n_real)
+                # overlap-tail: re-run the last `padded` REAL chunks (rows
+                # overwritten with identical values); a file smaller than
+                # one tail quantum zero-pads instead
+                off, blen, pad = (
+                    (n - padded, padded, 0) if padded <= n
+                    else (0, n_real, padded - n_real)
+                )
+            sb = np.pad(starts[off : off + blen], (0, pad))
+            if weights_on_device:
+                wb = _slice_rows(weights, np.int32(off), blen + pad)
+            else:
+                wb = jnp.asarray(np.pad(
+                    weights[off : off + blen],
+                    ((0, pad), (0, 0), (0, 0)),
+                ))
+            buf = fwd_acc(buf, src, jnp.asarray(sb, jnp.int32), wb, np.int32(off))
+            if hook is not None:
+                hook("embeddings", None, total=n, completed=min(b0 + n_real, n))
+        return DeviceRows(buf, n)
 
     @staticmethod
     def collect(merged):
@@ -326,6 +383,10 @@ class EmbeddingInference:
         host; the cast happens host-side after a f32 transfer)."""
         if merged is None:
             return []
+        from diarizen_tpu.infer.sliding import DeviceRows
+
+        if isinstance(merged, DeviceRows):
+            return [np.asarray(merged.buf)[: merged.n].astype(np.float64)]
         return [np.asarray(merged).astype(np.float64)]
 
     def _infer_batches(self, wave_device, starts, weights, hook):
@@ -518,6 +579,10 @@ class DiarizationPipeline:
             emb_dev = self.emb_inference.dispatch(
                 wave_device, starts[: plan["n_true"]], weights, hook=hook
             )
+            from diarizen_tpu.infer.sliding import DeviceRows
+
+            if isinstance(emb_dev, DeviceRows):
+                emb_dev = emb_dev.buf  # split() slices back to n_true rows
             buf = fs.merge(packed, counts, emb_dev)
             # enqueue the d2h right behind this file's own execs — in stream
             # mode the blocking np.asarray() in _finish_fused otherwise

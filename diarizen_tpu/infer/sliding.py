@@ -35,8 +35,52 @@ from diarizen_tpu.models.forward import segmentation_forward
 
 @functools.partial(jax.jit, static_argnums=1)
 def _pad_to(wave: jnp.ndarray, extra: int) -> jnp.ndarray:
-    """Device-side zero-pad (prepare_wave length bucketing)."""
+    """Device-side zero-pad (prepare_wave length bucketing). The only
+    remaining per-length program: its key (chunk-quantized wave length,
+    bucket remainder) takes at most `bucket quantum` distinct values per
+    bucket, each a trivial compile."""
     return jnp.pad(wave, (0, extra))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _zero_rows(shape, dtype) -> jnp.ndarray:
+    """Bucket-shaped accumulation buffer (keyed on the bucket, never the
+    exact file length)."""
+    return jnp.zeros(shape, dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _slice_rows(arr: jnp.ndarray, offset, length: int) -> jnp.ndarray:
+    """length rows from a TRACED offset — keyed on (arr shape, length),
+    both bucket-stable, unlike basic `arr[a:b]` slicing which keys on the
+    exact bounds."""
+    return jax.lax.dynamic_slice(
+        arr, (offset,) + (0,) * (arr.ndim - 1), (length,) + arr.shape[1:]
+    )
+
+
+class DeviceRows:
+    """A bucket-shaped device buffer whose first `n` rows are real.
+
+    The batched-dispatch engines accumulate per-batch outputs into one
+    bucket-shaped buffer with `lax.dynamic_update_slice` at TRACED offsets,
+    so every compiled program keys on the compile bucket — never on the
+    exact chunk count. Rows >= n are zeros (or tail-overlap duplicates) and
+    are sliced off host-side in collect()."""
+
+    __slots__ = ("buf", "n")
+
+    def __init__(self, buf, n: int):
+        self.buf = buf
+        self.n = n
+
+    @property
+    def dtype(self):
+        return self.buf.dtype
+
+    @property
+    def shape(self):
+        return (self.n,) + tuple(self.buf.shape[1:])
 
 
 def chunk_length_bucket(n: int, base: int = 32) -> int:
@@ -145,6 +189,25 @@ class SlidingInference:
             self._params, self._state, wave, starts, soft
         )
 
+        def fwd_acc(params, state, buf, wave_device, starts, offset, soft):
+            # batch forward accumulated into the bucket-shaped buffer at a
+            # TRACED offset: the program keys on (bucket rows, batch size),
+            # never on the exact chunk count — the round-4 residual ~6 s of
+            # per-exact-length pad/slice/concat compiles (PERF.md) was this
+            out = fwd(params, state, wave_device, starts, soft)
+            return jax.lax.dynamic_update_slice(
+                buf, out.astype(buf.dtype), (offset, 0, 0)
+            )
+
+        jitted_acc = jax.jit(
+            fwd_acc, static_argnames=("soft",), donate_argnums=(2,)
+        )
+        self._fwd_acc = lambda buf, wave, starts, offset, soft: jitted_acc(
+            self._params, self._state, buf, wave, starts, offset, soft
+        )
+        self._frames_per_chunk = cfg.num_frames(self.window_size)
+        self._num_labels = int(mapping.shape[1])
+
     def _tail_size(self, n_real: int) -> int:
         """Smallest multiple of max(8, data-axis) >= n_real, capped at
         batch_size — the compiled shape for a partial last batch."""
@@ -156,33 +219,67 @@ class SlidingInference:
 
     def dispatch(self, wave_device, starts, soft: bool, hook=None):
         """Enqueue all batches (async dispatch — returns ONE device-side
-        concat, no host sync). Collect later with `collect`; splitting the
+        result, no host sync). Collect later with `collect`; splitting the
         two lets a caller overlap this file's device compute with another
-        file's host-side stages (DiarizationPipeline.stream)."""
+        file's host-side stages (DiarizationPipeline.stream).
+
+        Single-device path: batches accumulate into a bucket-shaped buffer
+        (DeviceRows) via dynamic_update_slice at traced offsets — every
+        compiled program keys on the compile bucket, so a NEW exact file
+        length in an already-visited bucket triggers zero compiles (the tail
+        batch re-runs the last `tail` REAL chunks instead of padding:
+        overlap rows are overwritten with identical values). Mesh path keeps
+        the per-batch concat (collectives own the data movement there)."""
         total = len(starts)
-        pending = []
-        for b0 in range(0, total, self.batch_size):
-            batch_starts = starts[b0 : b0 + self.batch_size]
-            n_real = len(batch_starts)
-            if n_real < self.batch_size:
-                # right-size the tail batch: pad only to a multiple of 8 (or
-                # the data-mesh axis), not the full batch — a 13-chunk tail
-                # padded to 32 wastes ~13% of a 120 s file's compute; tail
-                # shapes are drawn from a small set so the extra compiles are
-                # bounded and persistently cached
-                padded = self._tail_size(n_real)
-                batch_starts = np.pad(batch_starts, (0, padded - n_real))
-            out = self._fwd(wave_device, jnp.asarray(batch_starts, jnp.int32), soft)
-            pending.append((out, n_real))
-            if hook is not None:
-                hook("segmentation", None, total=total, completed=b0 + n_real)
-        if not pending:
+        if total == 0:
             return None
-        return (
-            pending[0][0][: pending[0][1]]
-            if len(pending) == 1
-            else jnp.concatenate([out[:n] for out, n in pending])
-        )
+        if self.mesh is not None:
+            pending = []
+            for b0 in range(0, total, self.batch_size):
+                batch_starts = starts[b0 : b0 + self.batch_size]
+                n_real = len(batch_starts)
+                if n_real < self.batch_size:
+                    padded = self._tail_size(n_real)
+                    batch_starts = np.pad(batch_starts, (0, padded - n_real))
+                out = self._fwd(
+                    wave_device, jnp.asarray(batch_starts, jnp.int32), soft
+                )
+                pending.append((out, n_real))
+                if hook is not None:
+                    hook("segmentation", None, total=total, completed=b0 + n_real)
+            return (
+                pending[0][0][: pending[0][1]]
+                if len(pending) == 1
+                else jnp.concatenate([out[:n] for out, n in pending])
+            )
+
+        n_rows = chunk_length_bucket(total)
+        dtype = jnp.float32 if soft else jnp.uint8
+        buf = _zero_rows((n_rows, self._frames_per_chunk, self._num_labels), dtype)
+        for b0, sb in self._batch_grid(starts):
+            buf = self._fwd_acc(
+                buf, wave_device, jnp.asarray(sb, jnp.int32), np.int32(b0), soft
+            )
+            if hook is not None:
+                hook("segmentation", None, total=total,
+                     completed=min(b0 + len(sb), total))
+        return DeviceRows(buf, total)
+
+    def _batch_grid(self, starts):
+        """(offset, batch_starts) pairs: full batches, then a right-sized
+        tail drawn from the LAST `tail` real entries (offset shifted back)
+        so no padding rows exist and the update stays in the bucket."""
+        total = len(starts)
+        for b0 in range(0, total, self.batch_size):
+            n_real = min(self.batch_size, total - b0)
+            if n_real == self.batch_size:
+                yield b0, starts[b0 : b0 + self.batch_size]
+            else:
+                padded = self._tail_size(n_real)
+                if padded <= total:  # overlap-tail: re-run real chunks
+                    yield total - padded, starts[total - padded :]
+                else:  # file smaller than one tail quantum: zero-pad starts
+                    yield 0, np.pad(starts[b0:], (0, padded - n_real))
 
     @staticmethod
     def collect(merged):
@@ -191,6 +288,8 @@ class SlidingInference:
         5+ batches per file)."""
         if merged is None:
             return []
+        if isinstance(merged, DeviceRows):
+            return [np.asarray(merged.buf)[: merged.n].astype(np.float32)]
         return [np.asarray(merged).astype(np.float32)]
 
     def _infer_batches(self, wave_device, starts, soft: bool, hook):

@@ -19,11 +19,41 @@ from diarizen_tpu.models.wavlm import WavLMConfig
 def _load_wavlm(wavlm_src: str, seed: int = 0):
     """Preset name ('wavlm_base'/'wavlm_large', random init) or a reference
     `{config, state_dict}` checkpoint path (incl. pruned s80 models)
-    (reference model_wavlm_conformer.py:192-228 `load_wavlm`)."""
+    (reference model_wavlm_conformer.py:192-228 `load_wavlm`).
+
+    A NON-existent checkpoint path (released artifacts ship training-time
+    configs like `wavlm_src = "/YOUR_PATH/WavLM-Base+.pt"`,
+    recipes/diar_ssl/conf/wavlm_updated_conformer.toml:38) falls back to the
+    preset inferred from the filename: only the ARCHITECTURE matters there —
+    `from_pretrained` overwrites every weight from the snapshot's own
+    `pytorch_model.bin` right after the build."""
     try:
         return WavLMConfig.from_preset(wavlm_src), None
     except ValueError:
         pass
+    import os
+
+    if not os.path.isfile(wavlm_src):
+        name = os.path.basename(str(wavlm_src)).lower()
+        inferred = None
+        if "large" in name:
+            inferred = "wavlm_large_s80_md" if "s80" in name else "wavlm_large"
+        elif "base" in name:
+            inferred = "wavlm_base_s80_md" if "s80" in name else "wavlm_base"
+        if inferred is not None:
+            import warnings
+
+            warnings.warn(
+                f"wavlm_src {wavlm_src!r} does not exist; using the "
+                f"{inferred!r} preset architecture (random init — load the "
+                "real weights from the model checkpoint afterwards)",
+                stacklevel=2,
+            )
+            return WavLMConfig.from_preset(inferred), None
+        raise FileNotFoundError(
+            f"wavlm_src {wavlm_src!r} is neither a preset name nor an "
+            "existing checkpoint file"
+        )
     from diarizen_tpu.models.convert import load_reference_wavlm_checkpoint
 
     return load_reference_wavlm_checkpoint(wavlm_src)
@@ -179,3 +209,44 @@ def wavlm_conformer_mc(
         jax.random.PRNGKey(seed + 1), mc_cfg.wavlm.embed_dim, fcfg
     )
     return mc_cfg, params, state
+
+
+def distill_prune(
+    teacher_ckpt: str,
+    student_ckpt: str = None,
+    pruning_units: str = "conv,head,interm",
+    distill_layers: str = "0,4,8,12",
+    seed: int = 0,
+):
+    """Distill-prune "model": frozen teacher + gated student WavLM
+    (reference models/pruning/model_distill_prune.py:11-55). Mirrors the
+    reference constructor arg-for-arg; `student_ckpt` defaults to the
+    teacher's (the reference recipes pass the same file for both).
+
+    Returns (wavlm_cfg, params, state) like every builder; params holds
+    {"teacher", "student", "log_alphas"} and state carries the PruneConfig +
+    distill layer list the pruning runner consumes."""
+    from diarizen_tpu.models.wavlm import init_wavlm_params
+    from diarizen_tpu.prune.gates import PruneConfig, init_gates
+
+    units = [u.strip() for u in str(pruning_units).split(",") if u.strip()]
+    pcfg = PruneConfig(
+        prune_conv_channels="conv" in units,
+        prune_attention_heads="head" in units,
+        prune_attention_layer="attlayer" in units,
+        prune_feed_forward_intermediate="interm" in units,
+        prune_feed_forward_layer="ffnlayer" in units,
+    )
+    wavlm_cfg, teacher = _load_wavlm(teacher_ckpt, seed)
+    if teacher is None:
+        teacher = init_wavlm_params(jax.random.PRNGKey(seed), wavlm_cfg)
+    if student_ckpt is None or student_ckpt == teacher_ckpt:
+        student = jax.tree_util.tree_map(lambda x: x.copy(), teacher)
+    else:
+        _, student = _load_wavlm(student_ckpt, seed)
+        if student is None:
+            student = jax.tree_util.tree_map(lambda x: x.copy(), teacher)
+    gates = init_gates(jax.random.PRNGKey(seed + 1), wavlm_cfg, pcfg)
+    layers = tuple(int(x) for x in str(distill_layers).split(","))
+    params = {"teacher": teacher, "student": student, "log_alphas": gates}
+    return wavlm_cfg, params, {"prune_config": pcfg, "distill_layers": layers}

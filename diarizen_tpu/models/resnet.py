@@ -254,7 +254,11 @@ def stats_pool(
     dx2 = jnp.square(f - mean[..., None])
     v2 = jnp.sum(jnp.square(w), axis=-1)
     var = jnp.sum(dx2 * w, axis=-1) / (v1 - v2 / v1 + 1e-8)
-    std = jnp.sqrt(var)
+    # gradient-safe sqrt: sqrt'(0) is inf, and a masked dead channel (all
+    # zeros under the mask) has var exactly 0 — forward values are unchanged
+    # beyond the 1e-12 floor (<=1e-6 absolute, far below oracle tolerances)
+    # but the embedding trunk becomes trainable through the masked pool
+    std = jnp.where(var > 0, jnp.sqrt(jnp.maximum(var, 1e-12)), 0.0)
     out = jnp.concatenate([mean, std], axis=-1)  # (B, S, 2D)
     return out[:, 0] if squeeze else out
 

@@ -30,6 +30,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_BQ = 512  # q-block rows cap (T <= 799 -> usually one block per head)
 
+# In-kernel softmax elementwise precision/schedule (inference forward only;
+# the backward always recomputes f32). Set via set_softmax_mode():
+#   "f32"      — exact f32 softmax
+#   "deferred" — unnormalized p @ v, ONE (BQ, D) division at the end instead
+#                of a (BQ, Tp) division panel (4x fewer VPU divides; float
+#                reassociation only). DEFAULT: measured 45.2 -> 44.5 ms on
+#                the Large-s80 forward, neutral on base (PERF.md round 5)
+#   "bf16"     — deferred + the exp panel computed/accumulated in bf16 with
+#                f32 row-max and f32 output accumulator (measured equal to
+#                "deferred" — exp is not bf16-packed on this VPU)
+_SOFTMAX_MODE = "deferred"
+
+
+def set_softmax_mode(mode: str) -> None:
+    """Select the flash kernel's softmax schedule ("f32" | "deferred" |
+    "bf16"). Global like wavlm.set_fused_ln; inference forward only."""
+    assert mode in ("f32", "deferred", "bf16"), mode
+    global _SOFTMAX_MODE
+    _SOFTMAX_MODE = mode
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -153,7 +173,8 @@ def _dropout_mask(seed, b, h_global, shape, rate: float):
 
 
 def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, seed_ref, o_ref,
-            *, scale: float, t_valid: int, hb: int, rate: float):
+            *, scale: float, t_valid: int, hb: int, rate: float,
+            softmax_mode: str = "f32"):
     # q_ref: (1, HB, BQ, D), k_ref/v_ref: (1, HB, Tp, D), p_ref: (HB, BQ, Tp),
     # g_ref: (1, HB, BQ, 1), seed_ref: (1, 1) SMEM, o_ref: (1, HB, BQ, D)
     # grid order (head-group, q-block, batch): batch innermost, so the
@@ -176,14 +197,30 @@ def _kernel(q_ref, k_ref, v_ref, p_ref, g_ref, seed_ref, o_ref,
             s = jnp.where(col < t_valid, s, -1e30)
 
         s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        w = p / jnp.sum(p, axis=-1, keepdims=True)
-        if rate > 0.0:  # in-kernel attention dropout (rate is static)
-            w = w * _dropout_mask(seed_ref[0, 0], b, g_idx * hb + hh, w.shape, rate)
-        o = jax.lax.dot_general(
-            w.astype(v_ref.dtype), v_ref[0, hh], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if softmax_mode == "f32":
+            p = jnp.exp(s)
+            w = p / jnp.sum(p, axis=-1, keepdims=True)
+            if rate > 0.0:  # in-kernel attention dropout (rate is static)
+                w = w * _dropout_mask(seed_ref[0, 0], b, g_idx * hb + hh, w.shape, rate)
+            o = jax.lax.dot_general(
+                w.astype(v_ref.dtype), v_ref[0, hh], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # deferred normalization: unnormalized p @ v, one (BQ, D)
+            # division instead of the (BQ, Tp) division panel. "bf16"
+            # additionally computes/accumulates the exp panel in bf16 with
+            # f32 row-max (above) and an f32 normalizer/output.
+            p = jnp.exp(s.astype(jnp.bfloat16) if softmax_mode == "bf16" else s)
+            l = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+            if rate > 0.0:  # dropout scales softmax weights -> scales p
+                p = p * _dropout_mask(
+                    seed_ref[0, 0], b, g_idx * hb + hh, p.shape, rate
+                ).astype(p.dtype)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype), v_ref[0, hh], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / l
         o_ref[0, hh] = o.astype(o_ref.dtype)
 
 
@@ -237,7 +274,13 @@ def flash_attention_gated_bias(
     )
     grid = (h // hb, tp // bq, b)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, t_valid=t, hb=hb, rate=dropout_rate),
+        functools.partial(
+            _kernel, scale=scale, t_valid=t, hb=hb, rate=dropout_rate,
+            # reduced-precision/deferred softmax is inference-only: the
+            # custom-vjp backward recomputes exact f32, so a non-f32 forward
+            # under _need_bwd would make fwd/bwd subtly inconsistent
+            softmax_mode="f32" if _need_bwd else _SOFTMAX_MODE,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, hb, bq, dp), lambda g, j, i: (i, g, j, 0), memory_space=pltpu.VMEM),

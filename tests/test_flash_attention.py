@@ -272,3 +272,45 @@ def test_bwd_gate_models_launched_kernel_padding():
     tight = _bwd_vmem_ok_tp(_round_up(t, 128), _round_up(d, 128), itemsize)
     assert loose and not tight  # the band exists...
     assert not _bwd_vmem_ok(4, t, d, itemsize)  # ...and the gate rejects it
+
+
+def test_softmax_modes_match_f32():
+    """set_softmax_mode("deferred"/"bf16") — the round-5 VPU-softmax
+    levers — must agree with the exact f32 softmax: "deferred" to float-
+    reassociation tolerance, "bf16" to bf16 exp-panel tolerance."""
+    from diarizen_tpu.ops.flash_attention import (
+        flash_attention_gated_bias,
+        set_softmax_mode,
+    )
+
+    b, h, t, d = 2, 4, 57, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 5)
+    q = jax.random.normal(ks[0], (b, h, t, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, t, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, t, d), jnp.float32)
+    bias = jax.random.normal(ks[3], (h, t, t), jnp.float32)
+    gate = jax.nn.sigmoid(jax.random.normal(ks[4], (b, h, t), jnp.float32))
+
+    try:
+        set_softmax_mode("f32")
+        ref = flash_attention_gated_bias(q, k, v, bias, gate, interpret=True)
+        set_softmax_mode("deferred")
+        got_d = flash_attention_gated_bias(q, k, v, bias, gate, interpret=True)
+        set_softmax_mode("bf16")
+        got_b = flash_attention_gated_bias(q, k, v, bias, gate, interpret=True)
+    finally:
+        set_softmax_mode("f32")
+
+    np.testing.assert_allclose(got_d, ref, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(got_b, ref, rtol=2e-2, atol=2e-2)
+    # the deferred/bf16 modes must never leak into the differentiable path:
+    # _need_bwd forces the exact-f32 kernel so the custom-vjp forward and
+    # its f32-recomputing backward stay consistent
+    set_softmax_mode("bf16")
+    try:
+        fwd_trainable = flash_attention_gated_bias(
+            q, k, v, bias, gate, interpret=True, _need_bwd=True
+        )
+    finally:
+        set_softmax_mode("f32")
+    np.testing.assert_array_equal(np.asarray(fwd_trainable), np.asarray(ref))

@@ -270,8 +270,23 @@ def _make_wave():
     return wave[None].astype(np.float32)
 
 
-@pytest.fixture(scope="module")
-def setup():
+EXAMPLE_WAV = "/root/reference/example/EN2002a_30s.wav"
+
+
+def _load_example_wave():
+    """The real 30 s AMI clip the reference ships — genuine silences,
+    overlap, channel noise (everything the synthetic tones lack). Trimmed to
+    29.5 s so the chunk grid keeps an orphan tail chunk
+    ((472000 - 32000) % 6400 = 4800 != 0)."""
+    from diarizen_tpu.core.audio import read_wav
+
+    wave, sr = read_wav(EXAMPLE_WAV)
+    assert sr == SR
+    return np.ascontiguousarray(wave[:, : int(29.5 * SR)]).astype(np.float32)
+
+
+@pytest.fixture(scope="module", params=["synthetic", "ami"])
+def setup(request):
     sd_mod = ref_shim.load_ref_speaker_diarization()
     inference_mod = sys.modules["pyannote.audio.core.inference"]
     clustering_mod = sys.modules["pyannote.audio.pipelines.clustering"]
@@ -313,9 +328,14 @@ def setup():
     ref_pipeline.embedding_batch_size = 7
     ref_pipeline.training = False
 
-    wave = _make_wave()
+    wave = _make_wave() if request.param == "synthetic" else _load_example_wave()
     file = {"waveform": torch.from_numpy(wave), "sample_rate": SR,
             "uri": "oracle"}
+
+    # expected chunk grid (both waves keep an orphan tail chunk)
+    step_size, win = round(STEP * SR), round(DURATION * SR)
+    n_complete = (wave.shape[1] - win) // step_size + 1
+    n_chunks = n_complete + ((wave.shape[1] - win) % step_size > 0)
 
     seg_inf = SlidingInference(
         params, state, cfg, duration=DURATION, step=STEP, batch_size=5,
@@ -329,7 +349,7 @@ def setup():
     return types.SimpleNamespace(
         clustering_mod=clustering_mod, ref_pipeline=ref_pipeline,
         ref_inference=ref_inference, file=file, wave=wave, cfg=cfg,
-        seg_inf=seg_inf, emb_inf=emb_inf, ref_rf=ref_rf,
+        seg_inf=seg_inf, emb_inf=emb_inf, ref_rf=ref_rf, n_chunks=n_chunks,
     )
 
 
@@ -342,8 +362,8 @@ def test_slide_engine_matches_reference(setup):
     got_hard = setup.seg_inf(setup.wave, SR, soft=False)
 
     # identical chunk grid: (window, step) and chunk count with the orphan
-    # tail chunk (116800 samples -> 14 complete + 1 padded tail)
-    assert ref_hard.data.shape == got_hard.data.shape == (15, 399, 4)
+    # tail chunk (e.g. 116800 samples -> 14 complete + 1 padded tail)
+    assert ref_hard.data.shape == got_hard.data.shape == (setup.n_chunks, 399, 4)
     assert ref_hard.sliding_window.duration == got_hard.sliding_window.duration
     assert ref_hard.sliding_window.step == got_hard.sliding_window.step
 
@@ -354,10 +374,11 @@ def test_slide_engine_matches_reference(setup):
     # making the bit comparison machine-dependent
     step_size = round(STEP * SR)
     win = round(DURATION * SR)
-    padded = np.zeros((1, 15 * step_size + win), np.float32)
+    n = setup.n_chunks
+    padded = np.zeros((1, n * step_size + win), np.float32)
     padded[:, : setup.wave.shape[1]] = setup.wave
     chunks = np.stack([padded[0, i * step_size : i * step_size + win]
-                       for i in range(15)])
+                       for i in range(n)])
     with torch.no_grad():
         scores = setup.ref_inference.model(torch.from_numpy(chunks[:, None]))
     top2 = np.sort(scores.numpy(), axis=-1)[..., -2:]
@@ -374,11 +395,16 @@ def test_slide_engine_matches_reference(setup):
     )
 
 
-def _run_reference_chain(setup, ref_clustering):
+def _run_reference_chain(setup, ref_clustering, num_speakers=None,
+                         min_speakers=None, max_speakers=None):
     """The composed DiariZen chain, reference code end-to-end
-    (diarizen/pipelines/inference.py:121-192)."""
+    (diarizen/pipelines/inference.py:121-192). num/min/max follow the
+    reference apply()'s set_num_speakers override semantics
+    (speaker_diarization.py:471-476, utils/diarization.py:62-64)."""
     diar = ref_shim.load_ref_diarization()
     signal = ref_shim.load_ref_signal()
+    min_speakers = num_speakers or min_speakers or 1
+    max_speakers = num_speakers or max_speakers or MAX_SPEAKERS
 
     segmentations = setup.ref_pipeline.get_segmentations(setup.file, soft=False)
     segmentations.data = median_filter(
@@ -393,10 +419,11 @@ def _run_reference_chain(setup, ref_clustering):
     )
     hard_clusters, _, centroids = ref_clustering(
         embeddings=embeddings.copy(), segmentations=binarized,
-        min_clusters=1, max_clusters=MAX_SPEAKERS,
+        num_clusters=num_speakers,
+        min_clusters=min_speakers, max_clusters=max_speakers,
     )
     raw_hard = hard_clusters.copy()
-    count.data = np.minimum(count.data, MAX_SPEAKERS).astype(np.int8)
+    count.data = np.minimum(count.data, max_speakers).astype(np.int8)
     inactive = np.sum(binarized.data, axis=1) == 0
     hard_clusters[inactive] = -2
     discrete, _ = setup.ref_pipeline.reconstruct(segmentations, hard_clusters, count)
@@ -522,6 +549,81 @@ def test_full_chain_rttm_oracle_vbx(setup, fused, tmp_path_factory):
     assert _speaker_partition(ann) == _speaker_partition(expected.annotation)
 
 
+def _assert_hard_clusters_match(got, want, embeddings):
+    """Exact raw-hard-cluster equality, except within genuine symmetric
+    ties: two speakers of one chunk with bit-identical binary masks get
+    bit-identical embeddings, so the constrained Hungarian assignment
+    (clustering.py:159-177) may break the tie either way — the final
+    partition is unaffected. Real audio (EN2002a) produces such chunks;
+    the synthetic tones never did."""
+    for c, s in np.argwhere(got != want):
+        tied = np.all(embeddings[c] == embeddings[c, s], axis=1)  # bit-equal
+        assert tied.sum() > 1, (
+            f"chunk {c} speaker {s}: {got[c, s]} != {want[c, s]} and the "
+            "embedding row is unique — a real divergence"
+        )
+        assert sorted(got[c][tied].tolist()) == sorted(want[c][tied].tolist())
+
+
+@needs_reference
+@pytest.mark.parametrize("forced", [2, 3])
+def test_full_chain_forced_num_speakers(setup, forced):
+    """Composed oracle for the forced `num_speakers` branch of the reference
+    apply() (speaker_diarization.py:427-530: set_num_speakers collapses
+    min=max=num, the count cap uses num) — previously oracle-tested only at
+    the clustering layer."""
+    ref_ahc = _make_ref_ahc(setup.clustering_mod, 0.7, "centroid", 2)
+    ref_ahc.constrained_assignment = True
+    expected = _run_reference_chain(setup, ref_ahc, num_speakers=forced)
+
+    pipeline = DiarizationPipeline(
+        seg_inference=setup.seg_inf,
+        emb_inference=setup.emb_inf,
+        clustering=AgglomerativeClustering(
+            threshold=0.7, method="centroid", min_cluster_size=2,
+            constrained_assignment=True,
+        ),
+        eend_cfg=setup.cfg, min_speakers=1, max_speakers=MAX_SPEAKERS,
+    )
+    hook, artifacts = _capture_hook()
+    ann = pipeline(setup.wave, SR, uri="oracle", num_speakers=forced, hook=hook)
+
+    _assert_hard_clusters_match(
+        artifacts["clustering"], expected.hard_clusters, artifacts["embeddings"]
+    )
+    # forced count binds the cluster ids: exactly `forced` clusters exist
+    assert int(artifacts["clustering"].max()) + 1 == forced
+    assert _speaker_partition(ann) == _speaker_partition(expected.annotation)
+
+
+@needs_reference
+def test_full_chain_min_speakers_floor(setup):
+    """Composed oracle for min_speakers > 1 (the reference apply()'s
+    min_clusters floor forces AHC to keep at least that many clusters,
+    clustering.py set_num_clusters + best_iteration selection)."""
+    ref_ahc = _make_ref_ahc(setup.clustering_mod, 0.7, "centroid", 2)
+    ref_ahc.constrained_assignment = True
+    expected = _run_reference_chain(setup, ref_ahc, min_speakers=3)
+
+    pipeline = DiarizationPipeline(
+        seg_inference=setup.seg_inf,
+        emb_inference=setup.emb_inf,
+        clustering=AgglomerativeClustering(
+            threshold=0.7, method="centroid", min_cluster_size=2,
+            constrained_assignment=True,
+        ),
+        eend_cfg=setup.cfg, min_speakers=3, max_speakers=MAX_SPEAKERS,
+    )
+    hook, artifacts = _capture_hook()
+    ann = pipeline(setup.wave, SR, uri="oracle", hook=hook)
+
+    _assert_hard_clusters_match(
+        artifacts["clustering"], expected.hard_clusters, artifacts["embeddings"]
+    )
+    assert int(artifacts["clustering"].max()) + 1 >= 3
+    assert _speaker_partition(ann) == _speaker_partition(expected.annotation)
+
+
 @needs_reference
 def test_whole_file_inference_matches_reference(setup):
     """window='whole' mode: one forward over the full waveform, no sliding
@@ -628,7 +730,7 @@ def test_slide_engine_matches_reference_prenorm(setup):
     file = dict(setup.file)
     ref_soft = ref_inference(file, soft=True)
     got_soft = seg_inf(setup.wave, SR, soft=True)
-    assert ref_soft.data.shape == got_soft.data.shape == (15, 399, 4)
+    assert ref_soft.data.shape == got_soft.data.shape == (setup.n_chunks, 399, 4)
     np.testing.assert_allclose(
         np.asarray(got_soft.data), ref_soft.data, rtol=7e-4, atol=7e-4
     )

@@ -67,7 +67,12 @@ def test_fused_matches_host_stages(n_chunks, median):
     assert plan["num_frames_true"] == count_ref.data.shape[0]
     np.testing.assert_array_equal(got_counts, count_ref.data[:, 0])
 
-    np.testing.assert_array_equal(np.asarray(weights), w_ref)
+    # weights keep all n_pad bucket rows (round-5 zero-recompile design);
+    # padding rows must be zero and real rows bit-equal to the host chain
+    w = np.asarray(weights)
+    assert w.shape[0] == plan["n_pad"]
+    np.testing.assert_array_equal(w[:n_chunks], w_ref)
+    assert not w[n_chunks:].any()
 
 
 def test_non_affine_layout_falls_back():

@@ -232,33 +232,33 @@ def test_oom_backoff_halves_batch_and_matches():
     expected = ref_inf(wave, 16000)
 
     inf = SlidingInference(params, state, cfg, batch_size=8)
-    real_fwd = inf._fwd
+    real_acc = inf._fwd_acc  # the bucket-buffer dispatch's forward seam
 
-    def oomy_fwd(wave_device, starts, soft):
+    def oomy_acc(buf, wave_device, starts, offset, soft):
         if starts.shape[0] > 2:
             raise RuntimeError(
                 "RESOURCE_EXHAUSTED: Attempting to allocate 99.00G in HBM"
             )
-        return real_fwd(wave_device, starts, soft)
+        return real_acc(buf, wave_device, starts, offset, soft)
 
-    inf._fwd = oomy_fwd
+    inf._fwd_acc = oomy_acc
     out = inf(wave, 16000)
     assert inf.batch_size == 2  # 8 -> 4 -> 2
     np.testing.assert_array_equal(out.data, expected.data)
 
     # non-OOM errors must propagate untouched
     inf2 = SlidingInference(params, state, cfg, batch_size=4)
-    def broken(wave_device, starts, soft):
+    def broken(buf, wave_device, starts, offset, soft):
         raise ValueError("shape mismatch")
-    inf2._fwd = broken
+    inf2._fwd_acc = broken
     with pytest.raises(ValueError, match="shape mismatch"):
         inf2(wave, 16000)
 
     # OOM at batch_size=1 raises the actionable message
     inf3 = SlidingInference(params, state, cfg, batch_size=1)
-    def always_oom(wave_device, starts, soft):
+    def always_oom(buf, wave_device, starts, offset, soft):
         raise RuntimeError("RESOURCE_EXHAUSTED")
-    inf3._fwd = always_oom
+    inf3._fwd_acc = always_oom
     with pytest.raises(RuntimeError, match="shorter chunks"):
         inf3(wave, 16000)
 
@@ -269,18 +269,18 @@ def test_embedding_oom_backoff():
     emb = EmbeddingInference(
         rparams, rcfg, window_size=32000, num_speakers=3, batch_size=8
     )
-    # wrap BOTH forwards: dispatch picks _fwd_feats (shared fbank) when the
-    # window grid aligns to the frame hop, _fwd otherwise
-    def oomy(real_fwd):
-        def wrapped(src, starts, weights):
+    # wrap BOTH accumulate forwards: dispatch picks _fwd_feats_acc (shared
+    # fbank) when the window grid aligns to the frame hop, _fwd_acc otherwise
+    def oomy(real_acc):
+        def wrapped(buf, src, starts, weights, offset):
             if starts.shape[0] > 2:
                 raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
-            return real_fwd(src, starts, weights)
+            return real_acc(buf, src, starts, weights, offset)
 
         return wrapped
 
-    emb._fwd = oomy(emb._fwd)
-    emb._fwd_feats = oomy(emb._fwd_feats)
+    emb._fwd_acc = oomy(emb._fwd_acc)
+    emb._fwd_feats_acc = oomy(emb._fwd_feats_acc)
     wave = jax.device_put(np.zeros(16000 * 6, np.float32))
     starts = np.arange(5, dtype=np.int64) * 8000
     weights = np.ones((5, 3, 99), np.float32)
@@ -422,3 +422,54 @@ def test_no_speech_centroids_reset_both_paths():
         ann, cents = pipeline(wave, 16000, uri="nospeech", return_embeddings=True)
         assert len(ann) == 0, f"fused={fused}: expected empty annotation"
         assert cents.shape == (0, 32), f"fused={fused}: got {cents.shape}"
+
+
+def test_new_length_in_visited_bucket_compiles_nothing_but_wave_pad():
+    """Zero per-exact-length compiles (round-5): after a bucket is warm, a
+    file of a NEW exact length in that bucket triggers at most the trivial
+    device-side wave pad (`_pad_to`, whose key space is bounded by the
+    bucket quantum) — the round-4 residual was ~13 pad/slice/concat
+    programs (~6 s through the remote-compile tunnel)."""
+    import logging
+
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    seg_inf = SlidingInference(params, state, cfg, batch_size=8)
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    rparams = init_resnet_params(jax.random.PRNGKey(1), rcfg)
+    emb_inf = EmbeddingInference(
+        rparams, rcfg, window_size=seg_inf.window_size,
+        num_speakers=cfg.max_speakers_per_chunk, batch_size=8,
+    )
+    pipeline = DiarizationPipeline(
+        seg_inference=seg_inf, emb_inference=emb_inf,
+        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=3),
+        eend_cfg=cfg, max_speakers=4,
+    )
+    rng = np.random.default_rng(0)
+
+    def wav(secs):
+        return (rng.standard_normal((1, int(secs * 16000))) * 0.1).astype(np.float32)
+
+    pipeline(wav(8.0), 16000, uri="warm")  # 31 chunks -> bucket 32
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture()
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    jax.config.update("jax_log_compiles", True)
+    logger.addHandler(handler)
+    try:
+        # 7.3 s -> 28 chunks, SAME bucket, new exact length
+        pipeline(wav(7.3), 16000, uri="new-length")
+    finally:
+        logger.removeHandler(handler)
+        jax.config.update("jax_log_compiles", False)
+    compiles = [r for r in records if "Compiling" in r]
+    allowed = [r for r in compiles if "_pad_to" in r]
+    assert compiles == allowed, f"unexpected per-length compiles: {compiles}"
+    assert len(compiles) <= 1

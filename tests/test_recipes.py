@@ -427,3 +427,49 @@ def test_stage_drivers_exist_for_all_recipes():
         assert script.exists(), f"{recipe} lacks run_stage.sh"
         assert os.access(script, os.X_OK), f"{script} not executable"
         subprocess.run(["bash", "-n", str(script)], check=True)
+
+
+def test_stage_drivers_execute_no_stage():
+    """Execute each run_stage.sh with stage=99 (every stage guard false):
+    the whole top-level runs under `set -euo pipefail` — defaulting logic
+    and variable expansions are exercised, undefined-var bugs surface."""
+    root = Path(__file__).resolve().parents[1] / "recipes"
+    for recipe in ("diar_ssl", "diar_ssl_mc", "diar_ssl_pruning"):
+        script = root / recipe / "run_stage.sh"
+        result = subprocess.run(
+            ["bash", str(script), "99"], cwd=root / recipe,
+            capture_output=True, text=True, timeout=60,
+        )
+        assert result.returncode == 0, f"{script}: {result.stderr[-2000:]}"
+
+
+def test_stage_driver_full_run_diar_ssl(workdir, tmp_path):
+    """run_stage.sh end-to-end with the tiny config: stage 1 (train) +
+    stage 2/3 (checkpoint-averaged inference + DER report) through the
+    actual shell driver, like the reference's run_stage.sh flow."""
+    stage_dir = tmp_path / "recipe"
+    stage_dir.mkdir()
+    recipe = REPO / "recipes" / "diar_ssl"
+    for f in ("run.py", "infer.py", "run_stage.sh"):
+        (stage_dir / f).symlink_to(recipe / f)
+    # test set laid out where the driver's relative paths expect it
+    syn = stage_dir / "data" / "SYN" / "test"
+    syn.mkdir(parents=True)
+    for f in ("wav.scp", "rttm", "all.uem"):
+        (syn / f).symlink_to(workdir / "data" / "dev" / f)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{workdir}"
+    env["DIARIZEN_PLATFORM"] = "cpu"
+    env["CONF"] = str(workdir / "tiny.toml")
+    env["EXP_DIR"] = str(tmp_path / "exp")
+    env["TEST_SETS"] = "SYN"
+    result = subprocess.run(
+        ["bash", str(stage_dir / "run_stage.sh"), "1"], cwd=stage_dir,
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, (
+        f"stdout:\n{result.stdout[-3000:]}\nstderr:\n{result.stderr[-3000:]}"
+    )
+    der = json.loads((tmp_path / "exp" / "infer" / "SYN" / "der.json").read_text())
+    assert "der" in der and np.isfinite(der["der"])
