@@ -477,6 +477,7 @@ class DiarizationPipeline:
         uris=None,
         num_speakers: Optional[int] = None,
         hook: Optional[Callable] = None,
+        trim_every: int = 10,
     ):
         """Pipelined multi-file diarization: yields one Annotation per input
         waveform, in order, with outputs identical to per-file `__call__`.
@@ -489,11 +490,30 @@ class DiarizationPipeline:
 
         `hook` is shared across in-flight files, so per-batch progress
         callbacks interleave; per-stage artifacts still arrive in file order.
+
+        `trim_every`: every N files, run gc + glibc malloc_trim (no-op on
+        other libcs; 0 disables). Long soaks on the axon runtime measured
+        ~5 MB/file of host RSS growth; ~30% of it is glibc retention this
+        releases. The rest is the runtime retaining every h2d transfer
+        buffer for process lifetime (measured linear to >1 GB, unaffected
+        by jax.clear_caches — PERF.md round 5); at serving scale recycle
+        the worker process every few thousand files.
         """
+        import gc
         from itertools import repeat
+
+        def trim():
+            gc.collect()
+            try:
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except Exception:  # noqa: BLE001 — musl/macOS: gc alone
+                pass
 
         uri_iter = iter(uris) if uris is not None else repeat(None)
         prev = None
+        done = 0
         for waveform in waveforms:
             if prev is not None and "fused_buf" not in prev:
                 # collect file i's segmentation FIRST (its d2h is queued
@@ -504,6 +524,9 @@ class DiarizationPipeline:
             cur = self._dispatch_file(waveform, sample_rate, next(uri_iter), hook)
             if prev is not None:
                 yield self._finish_file(prev, num_speakers, hook)
+                done += 1
+                if trim_every and done % trim_every == 0:
+                    trim()
             prev = cur
         if prev is not None:
             yield self._finish_file(prev, num_speakers, hook)
