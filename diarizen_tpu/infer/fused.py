@@ -240,7 +240,12 @@ class FusedStitch:
             )
         n_true = plan["n_true"]
         if isinstance(seg_dev, DeviceRows):
-            seg_dev = seg_dev.buf  # bucket-shaped already; padding rows zero
+            # bucket-shaped already. Rows >= n_true are zeros, EXCEPT for a
+            # file smaller than one tail quantum, where the zero-pad-starts
+            # batch writes chunk-0 duplicates there — the stitch's `valid`
+            # mask and every downstream [:n_true] slice ignore those rows,
+            # but do not rely on them being zero
+            seg_dev = seg_dev.buf
         if seg_dev.shape[0] < n_pad:
             seg_dev = jnp.pad(
                 seg_dev, ((0, n_pad - seg_dev.shape[0]), (0, 0), (0, 0))

@@ -343,6 +343,7 @@ class EmbeddingInference:
             DeviceRows,
             _slice_rows,
             _zero_rows,
+            batch_row_spans,
             chunk_length_bucket,
         )
 
@@ -351,22 +352,20 @@ class EmbeddingInference:
         buf = _zero_rows(
             (n_rows, self.num_speakers, self._embed_dim), jnp.float32
         )
-        for b0 in range(0, n, self.batch_size):
-            n_real = min(self.batch_size, n - b0)
-            if n_real == self.batch_size:
-                off, blen, pad = b0, self.batch_size, 0
-            else:
-                padded = self._tail_size(n_real)
-                # overlap-tail: re-run the last `padded` REAL chunks (rows
-                # overwritten with identical values); a file smaller than
-                # one tail quantum zero-pads instead
-                off, blen, pad = (
-                    (n - padded, padded, 0) if padded <= n
-                    else (0, n_real, padded - n_real)
-                )
+        for off, blen, pad in batch_row_spans(n, self.batch_size, self._tail_size):
             sb = np.pad(starts[off : off + blen], (0, pad))
             if weights_on_device:
-                wb = _slice_rows(weights, np.int32(off), blen + pad)
+                if blen + pad <= weights.shape[0]:
+                    wb = _slice_rows(weights, np.int32(off), blen + pad)
+                else:
+                    # zero-pad span on an exactly-n-row device array (public
+                    # interface; the fused stitch always hands bucket-padded
+                    # weights): a per-length pad on this degenerate tiny
+                    # file is fine
+                    wb = jnp.pad(
+                        weights[off : off + blen],
+                        ((0, pad), (0, 0), (0, 0)),
+                    )
             else:
                 wb = jnp.asarray(np.pad(
                     weights[off : off + blen],
@@ -374,7 +373,8 @@ class EmbeddingInference:
                 ))
             buf = fwd_acc(buf, src, jnp.asarray(sb, jnp.int32), wb, np.int32(off))
             if hook is not None:
-                hook("embeddings", None, total=n, completed=min(b0 + n_real, n))
+                hook("embeddings", None, total=n,
+                     completed=min(off + blen + pad, n))
         return DeviceRows(buf, n)
 
     @staticmethod
@@ -659,13 +659,17 @@ class DiarizationPipeline:
     def _embedding_dim(self) -> int:
         """Embedding dimensionality of the configured embedder, for the
         reference-matching np.zeros((0, dimension)) no-speech centroid shape
-        (speaker_diarization.py:506). Duck-typed test embedders without a
-        cfg fall back to 0 columns."""
+        (speaker_diarization.py:506). Reads EmbeddingInference's own probe
+        (_embed_dim) so the two stay consistent; duck-typed test embedders
+        fall back to their cfg or 0 columns."""
+        dim = getattr(self.emb_inference, "_embed_dim", None)
+        if dim is not None:
+            return int(dim)
         cfg = getattr(self.emb_inference, "cfg", None)
         for attr in ("embed_dim", "dimension"):
-            dim = getattr(cfg, attr, None)
-            if dim is not None:
-                return int(dim)
+            d = getattr(cfg, attr, None)
+            if d is not None:
+                return int(d)
         return 0
 
     def _collect_segmentations(self, st, hook):

@@ -59,6 +59,26 @@ def _slice_rows(arr: jnp.ndarray, offset, length: int) -> jnp.ndarray:
     )
 
 
+def batch_row_spans(total: int, batch_size: int, tail_size):
+    """(offset, length, pad) spans covering [0, total) in `batch_size` rows:
+    full batches, then a right-sized tail drawn from the LAST `tail_size`
+    REAL rows (offset shifted back — re-running a few rows beats padding;
+    the overwritten overlap rows get identical values). A file smaller than
+    one tail quantum zero-pads instead (pad > 0, offset 0). Shared by the
+    segmentation and embedding dispatch engines so the subtle tail logic
+    has ONE implementation."""
+    for b0 in range(0, total, batch_size):
+        n_real = min(batch_size, total - b0)
+        if n_real == batch_size:
+            yield b0, batch_size, 0
+        else:
+            padded = tail_size(n_real)
+            if padded <= total:
+                yield total - padded, padded, 0
+            else:
+                yield 0, n_real, padded - n_real
+
+
 class DeviceRows:
     """A bucket-shaped device buffer whose first `n` rows are real.
 
@@ -256,30 +276,15 @@ class SlidingInference:
         n_rows = chunk_length_bucket(total)
         dtype = jnp.float32 if soft else jnp.uint8
         buf = _zero_rows((n_rows, self._frames_per_chunk, self._num_labels), dtype)
-        for b0, sb in self._batch_grid(starts):
+        for off, blen, pad in batch_row_spans(total, self.batch_size, self._tail_size):
+            sb = np.pad(starts[off : off + blen], (0, pad))
             buf = self._fwd_acc(
-                buf, wave_device, jnp.asarray(sb, jnp.int32), np.int32(b0), soft
+                buf, wave_device, jnp.asarray(sb, jnp.int32), np.int32(off), soft
             )
             if hook is not None:
                 hook("segmentation", None, total=total,
-                     completed=min(b0 + len(sb), total))
+                     completed=min(off + blen + pad, total))
         return DeviceRows(buf, total)
-
-    def _batch_grid(self, starts):
-        """(offset, batch_starts) pairs: full batches, then a right-sized
-        tail drawn from the LAST `tail` real entries (offset shifted back)
-        so no padding rows exist and the update stays in the bucket."""
-        total = len(starts)
-        for b0 in range(0, total, self.batch_size):
-            n_real = min(self.batch_size, total - b0)
-            if n_real == self.batch_size:
-                yield b0, starts[b0 : b0 + self.batch_size]
-            else:
-                padded = self._tail_size(n_real)
-                if padded <= total:  # overlap-tail: re-run real chunks
-                    yield total - padded, starts[total - padded :]
-                else:  # file smaller than one tail quantum: zero-pad starts
-                    yield 0, np.pad(starts[b0:], (0, padded - n_real))
 
     @staticmethod
     def collect(merged):

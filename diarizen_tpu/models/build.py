@@ -16,17 +16,20 @@ from diarizen_tpu.models.eend import EendConfig, init_eend_params
 from diarizen_tpu.models.wavlm import WavLMConfig
 
 
-def _load_wavlm(wavlm_src: str, seed: int = 0):
+def _load_wavlm(wavlm_src: str, seed: int = 0, allow_missing: bool = False):
     """Preset name ('wavlm_base'/'wavlm_large', random init) or a reference
     `{config, state_dict}` checkpoint path (incl. pruned s80 models)
     (reference model_wavlm_conformer.py:192-228 `load_wavlm`).
 
-    A NON-existent checkpoint path (released artifacts ship training-time
-    configs like `wavlm_src = "/YOUR_PATH/WavLM-Base+.pt"`,
-    recipes/diar_ssl/conf/wavlm_updated_conformer.toml:38) falls back to the
-    preset inferred from the filename: only the ARCHITECTURE matters there —
+    `allow_missing=True` (ONLY the `from_pretrained` snapshot loader sets
+    it): a NON-existent checkpoint path — released artifacts ship
+    training-time configs like `wavlm_src = "/YOUR_PATH/WavLM-Base+.pt"`
+    (recipes/diar_ssl/conf/wavlm_updated_conformer.toml:38) — falls back to
+    the preset architecture inferred from the filename, because
     `from_pretrained` overwrites every weight from the snapshot's own
-    `pytorch_model.bin` right after the build."""
+    `pytorch_model.bin` right after the build. TRAINING entry points keep
+    the default False and fail loudly, matching the reference `get_config`:
+    a typo'd teacher path must never silently become random init."""
     try:
         return WavLMConfig.from_preset(wavlm_src), None
     except ValueError:
@@ -40,7 +43,7 @@ def _load_wavlm(wavlm_src: str, seed: int = 0):
             inferred = "wavlm_large_s80_md" if "s80" in name else "wavlm_large"
         elif "base" in name:
             inferred = "wavlm_base_s80_md" if "s80" in name else "wavlm_base"
-        if inferred is not None:
+        if allow_missing and inferred is not None:
             import warnings
 
             warnings.warn(
@@ -78,11 +81,16 @@ def wavlm_conformer(
     selected_channel: int = 0,
     sample_rate: int = 16000,
     seed: int = 0,
+    _allow_missing_wavlm_src: bool = False,
 ) -> Tuple[EendConfig, dict, dict]:
     """The main WavLM+Conformer EEND model
-    (reference models/eend/model_wavlm_conformer.py:26)."""
+    (reference models/eend/model_wavlm_conformer.py:26).
+    `_allow_missing_wavlm_src` is set only by `pipelines.from_pretrained`
+    (see _load_wavlm)."""
     del num_channels
-    wavlm_cfg, wavlm_params = _load_wavlm(wavlm_src, seed)
+    wavlm_cfg, wavlm_params = _load_wavlm(
+        wavlm_src, seed, allow_missing=_allow_missing_wavlm_src
+    )
     cfg = EendConfig(
         wavlm=wavlm_cfg,
         conformer=ConformerConfig(

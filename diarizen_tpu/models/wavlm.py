@@ -543,9 +543,20 @@ def _self_attention(
                 jax.random.fold_in(rng, 2 * i), (), 0, np.iinfo(np.int32).max,
                 dtype=jnp.int32,
             )
-        out = flash_attention_gated_bias_trainable(
-            q, k, v, pos_sel, gate_sel, dropout_rate=rate, seed=seed
-        )
+        if train:
+            out = flash_attention_gated_bias_trainable(
+                q, k, v, pos_sel, gate_sel, dropout_rate=rate, seed=seed
+            )
+        else:
+            # inference path: skip the custom-vjp wrapper (which forces the
+            # exact-f32 kernel for fwd/bwd consistency) so the configured
+            # softmax schedule applies; nothing differentiates a
+            # train=False forward, and Pallas would fail loudly if one did
+            from diarizen_tpu.ops.flash_attention import (
+                flash_attention_gated_bias,
+            )
+
+            out = flash_attention_gated_bias(q, k, v, pos_sel, gate_sel)
     else:
         if gate_sel is not None:
             bias = gate_sel[:, :, :, None] * position_bias[

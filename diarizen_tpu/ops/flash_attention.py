@@ -45,7 +45,12 @@ _SOFTMAX_MODE = "deferred"
 
 def set_softmax_mode(mode: str) -> None:
     """Select the flash kernel's softmax schedule ("f32" | "deferred" |
-    "bf16"). Global like wavlm.set_fused_ln; inference forward only."""
+    "bf16"). Global like wavlm.set_fused_ln; inference forward only.
+
+    Read at TRACE time: it affects kernels compiled AFTER the call.
+    Executables already compiled for a shape keep their mode (jit caches
+    key on shapes, not this global) — set the mode before building/jitting
+    the model, or jax.clear_caches() to force a retrace."""
     assert mode in ("f32", "deferred", "bf16"), mode
     global _SOFTMAX_MODE
     _SOFTMAX_MODE = mode

@@ -76,9 +76,13 @@ def from_pretrained(
             {k: v for k, v in clustering_overrides.items() if v is not None}
         )
 
-    cfg, params, state = instantiate(
-        config["model"]["path"], config["model"].get("args", {})
-    )
+    margs = config["model"].get("args", {})
+    # released snapshots carry training-time wavlm_src paths that don't
+    # resolve locally; the snapshot checkpoint supplies the weights anyway,
+    # so the builder may fall back to the preset architecture (inference
+    # loading only — training entry points keep the loud failure)
+    extra = {"_allow_missing_wavlm_src": True} if "wavlm_src" in margs else {}
+    cfg, params, state = instantiate(config["model"]["path"], margs, **extra)
     ckpt_bin = model_dir / "pytorch_model.bin"
     ckpt_npz = model_dir / "params.npz"
     if ckpt_bin.exists():

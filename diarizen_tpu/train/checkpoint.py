@@ -231,6 +231,12 @@ def select_checkpoints(
         return []
     if mode == "best":
         rows = sorted(rows, key=lambda m: m[metric])[:num]
+        if len(rows) < num:
+            warnings.warn(
+                f"select_checkpoints(mode='best'): only {len(rows)} of the "
+                f"requested {num} checkpoints exist; averaging {len(rows)}",
+                stacklevel=2,
+            )
     elif mode in ("prev", "center"):
         rows_sorted = sorted(rows, key=lambda m: m["epoch"])
         best_i = int(np.argmin([m[metric] for m in rows_sorted]))

@@ -165,9 +165,11 @@ def test_from_pretrained_vbx_snapshot(tmp_path):
 def test_full_size_verbatim_training_conf_model_section(tmp_path):
     """The [model] section copied VERBATIM from
     recipes/diar_ssl/conf/wavlm_updated_conformer.toml:34-48 — including the
-    dead `wavlm_src = "/YOUR_PATH/WavLM-Base+.pt"` — must still build the
-    full-size model (architecture inferred from the filename; weights come
-    from the snapshot checkpoint in real use)."""
+    dead `wavlm_src = "/YOUR_PATH/WavLM-Base+.pt"` — must build the
+    full-size model through `from_pretrained` (architecture inferred from
+    the filename; weights come from the snapshot checkpoint in real use).
+    TRAINING entry points must keep the reference's loud failure: a typo'd
+    wavlm_src never silently becomes random init (advisor finding, r5)."""
     if os.environ.get("DIARIZEN_SKIP_SLOW") == "1":
         pytest.skip("slow test disabled")
     import tomllib
@@ -175,11 +177,35 @@ def test_full_size_verbatim_training_conf_model_section(tmp_path):
     ref_conf = "/root/reference/recipes/diar_ssl/conf/wavlm_updated_conformer.toml"
     with open(ref_conf, "rb") as fh:
         model_section = tomllib.load(fh)["model"]
+
+    # direct builder call (the training path) fails loudly on the dead path
+    with pytest.raises(FileNotFoundError, match="wavlm_src"):
+        resolve(model_section["path"])(**model_section["args"])
+
+    # from_pretrained (the snapshot loader) infers the architecture
+    snap = tmp_path / "fullsize"
+    snap.mkdir()
+    with open(ref_conf) as fh:
+        lines = fh.read().splitlines()
+    start = lines.index("[model]")
+    end = next(
+        i for i in range(start + 1, len(lines))
+        if lines[i].startswith("[") and not lines[i].startswith("[model")
+    )
+    model_toml = "\n".join(lines[start:end])
+    (snap / "config.toml").write_text(
+        model_toml + "\n[inference]\n[inference.args]\n"
+        "seg_duration = 8\nsegmentation_step = 0.1\nbatch_size = 32\n"
+        "apply_median_filtering = true\n"
+        "[clustering]\n[clustering.args]\n"
+        'method = "AgglomerativeClustering"\n'
+        "min_speakers = 1\nmax_speakers = 8\nmin_cluster_size = 30\n"
+        "ahc_threshold = 0.7\n"
+    )
     with pytest.warns(UserWarning, match="preset architecture"):
-        cfg, params, state = resolve(model_section["path"])(
-            **model_section["args"]
-        )
+        pipeline = from_pretrained(snap)
+    cfg = pipeline.eend_cfg
     assert cfg.wavlm.embed_dim == 768 and cfg.wavlm.num_layers == 12
     assert cfg.attention_in == 256 and cfg.conformer.num_layers == 4
     assert cfg.max_speakers_per_chunk == 4 and cfg.chunk_size == 8.0
-    assert "wavlm" in params and "classifier" in params
+    assert pipeline.seg_inference.duration == 8.0

@@ -473,3 +473,25 @@ def test_new_length_in_visited_bucket_compiles_nothing_but_wave_pad():
     allowed = [r for r in compiles if "_pad_to" in r]
     assert compiles == allowed, f"unexpected per-length compiles: {compiles}"
     assert len(compiles) <= 1
+
+
+def test_embedding_dispatch_device_weights_tiny_file():
+    """Device-resident weights with EXACTLY n rows (the public interface;
+    the fused stitch hands bucket-padded ones) must work when the file is
+    smaller than one tail quantum — r5 code review caught a dynamic_slice
+    crash in the zero-pad branch."""
+    import jax.numpy as jnp
+
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    rparams = init_resnet_params(jax.random.PRNGKey(1), rcfg)
+    emb = EmbeddingInference(
+        rparams, rcfg, window_size=32000, num_speakers=3, batch_size=8
+    )
+    wave = jax.device_put(np.zeros(16000 * 6, np.float32))
+    starts = np.arange(5, dtype=np.int64) * 8000  # 5 < tail quantum 8
+    weights_dev = jnp.ones((5, 3, 99), jnp.float32)  # exactly n rows
+    out = emb(wave, starts, weights_dev)
+    assert out.shape == (5, 3, 32)
+    # and equals the host-weights result
+    out_host = emb(wave, starts, np.ones((5, 3, 99), np.float32))
+    np.testing.assert_allclose(out, out_host, rtol=1e-6, atol=1e-6)
