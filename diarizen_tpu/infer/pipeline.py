@@ -605,7 +605,12 @@ class DiarizationPipeline:
             from diarizen_tpu.infer.sliding import DeviceRows
 
             if isinstance(emb_dev, DeviceRows):
-                emb_dev = emb_dev.buf  # split() slices back to n_true rows
+                # ship only ceil8(n_true) rows of the bucket buffer: the
+                # static slice keys on (bucket, ceil8) — at most 4 variants
+                # per bucket — and trims up to 24 rows of f32 embedding
+                # bytes from the per-file fetch; split() slices to n_true
+                r8 = min(((emb_dev.n + 7) // 8) * 8, emb_dev.buf.shape[0])
+                emb_dev = emb_dev.buf[:r8]
             buf = fs.merge(packed, counts, emb_dev)
             # enqueue the d2h right behind this file's own execs — in stream
             # mode the blocking np.asarray() in _finish_fused otherwise
