@@ -495,3 +495,30 @@ def test_embedding_dispatch_device_weights_tiny_file():
     # and equals the host-weights result
     out_host = emb(wave, starts, np.ones((5, 3, 99), np.float32))
     np.testing.assert_allclose(out, out_host, rtol=1e-6, atol=1e-6)
+
+
+def test_stream_trim_knob():
+    """stream(trim_every=...) API: default fires the gc+malloc_trim cycle
+    (RSS mitigation, PERF.md round 5), 0 disables it; outputs unchanged."""
+    cfg = tiny_eend_cfg(chunk_size=2.0)
+    params, state = jax.jit(lambda k: init_eend_params(k, cfg))(jax.random.PRNGKey(0))
+    seg_inf = SlidingInference(params, state, cfg, batch_size=8)
+    rcfg = ResNetConfig(m_channels=8, num_blocks=(1, 1, 1, 1), embed_dim=32)
+    emb_inf = EmbeddingInference(
+        init_resnet_params(jax.random.PRNGKey(1), rcfg), rcfg,
+        window_size=seg_inf.window_size,
+        num_speakers=cfg.max_speakers_per_chunk, batch_size=8,
+    )
+    pipeline = DiarizationPipeline(
+        seg_inference=seg_inf, emb_inference=emb_inf,
+        clustering=AgglomerativeClustering(threshold=0.7, min_cluster_size=3),
+        eend_cfg=cfg, max_speakers=4,
+    )
+    rng = np.random.default_rng(3)
+    waves = [
+        (rng.standard_normal((1, 16000 * 5)) * 0.1).astype(np.float32)
+        for _ in range(3)
+    ]
+    with_trim = [a.to_rttm() for a in pipeline.stream(waves, 16000, uris=list("abc"), trim_every=1)]
+    no_trim = [a.to_rttm() for a in pipeline.stream(waves, 16000, uris=list("abc"), trim_every=0)]
+    assert with_trim == no_trim
