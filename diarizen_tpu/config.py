@@ -103,6 +103,30 @@ def instantiate_section(config: Dict[str, Any], section: str, **extra) -> Any:
     return instantiate(sec["path"], sec.get("args", {}), **extra)
 
 
+def instantiate_model_for_inference(path: str, args: Optional[Dict[str, Any]] = None) -> Any:
+    """Model-section instantiation for INFERENCE entry points
+    (`from_pretrained`, the recipe infer CLIs): checkpoints loaded right
+    after the build overwrite every weight, so a training-time `wavlm_src`
+    path that doesn't resolve locally may fall back to the preset
+    architecture. The `_allow_missing_wavlm_src` flag is injected only when
+    the resolved builder actually accepts it (named param or **kwargs), so
+    custom builders without the knob keep working."""
+    fn = resolve(path)
+    kwargs = dict(args or {})
+    if "wavlm_src" in kwargs:
+        import inspect
+
+        try:
+            params = inspect.signature(fn).parameters
+            if "_allow_missing_wavlm_src" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+            ):
+                kwargs["_allow_missing_wavlm_src"] = True
+        except (TypeError, ValueError):
+            pass
+    return fn(**kwargs)
+
+
 def apply_overrides(config: Dict[str, Any], overrides: Dict[str, Any]) -> Dict[str, Any]:
     """Apply {'a.b.c': value} dotted-path overrides to a nested config copy."""
     out = copy.deepcopy(config)

@@ -605,12 +605,12 @@ class DiarizationPipeline:
             from diarizen_tpu.infer.sliding import DeviceRows
 
             if isinstance(emb_dev, DeviceRows):
-                # ship only ceil8(n_true) rows of the bucket buffer: the
-                # static slice keys on (bucket, ceil8) — at most 4 variants
-                # per bucket — and trims up to 24 rows of f32 embedding
-                # bytes from the per-file fetch; split() slices to n_true
-                r8 = min(((emb_dev.n + 7) // 8) * 8, emb_dev.buf.shape[0])
-                emb_dev = emb_dev.buf[:r8]
+                # ship the full bucket-shaped buffer: slicing to ceil8(n)
+                # was tried and REVERTED — it keyed the merge programs on
+                # ceil8(n_true), reintroducing per-length compiles (~0.5 s
+                # each on the tunnel) to save ~2 ms of padding-row fetch.
+                # split() slices back to n_true rows host-side.
+                emb_dev = emb_dev.buf
             buf = fs.merge(packed, counts, emb_dev)
             # enqueue the d2h right behind this file's own execs — in stream
             # mode the blocking np.asarray() in _finish_fused otherwise

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 
 from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
-from diarizen_tpu.config import instantiate, load_toml
+from diarizen_tpu.config import instantiate_model_for_inference, load_toml
 from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
 from diarizen_tpu.models.resnet import (
@@ -76,13 +76,13 @@ def from_pretrained(
             {k: v for k, v in clustering_overrides.items() if v is not None}
         )
 
-    margs = config["model"].get("args", {})
     # released snapshots carry training-time wavlm_src paths that don't
     # resolve locally; the snapshot checkpoint supplies the weights anyway,
     # so the builder may fall back to the preset architecture (inference
     # loading only — training entry points keep the loud failure)
-    extra = {"_allow_missing_wavlm_src": True} if "wavlm_src" in margs else {}
-    cfg, params, state = instantiate(config["model"]["path"], margs, **extra)
+    cfg, params, state = instantiate_model_for_inference(
+        config["model"]["path"], config["model"].get("args", {})
+    )
     ckpt_bin = model_dir / "pytorch_model.bin"
     ckpt_npz = model_dir / "params.npz"
     if ckpt_bin.exists():

@@ -79,6 +79,13 @@ class Trainer:
         is given (callable -> int), the train step takes a 4th STATIC
         `num_channels` argument drawn per step — the reference MC model's
         random channel truncation (model_wavlm_conformer_mc.py:262-265)."""
+        # training processes pin the exact-f32 flash softmax so VALIDATION
+        # forwards (train=False) share the training objective's numerics —
+        # checkpoint selection between near-tied epochs must not depend on
+        # the inference-only deferred schedule (r5 code review)
+        from diarizen_tpu.ops.flash_attention import set_softmax_mode
+
+        set_softmax_mode("f32")
         self.cfg = cfg
         self.tc = trainer_cfg
         self.optimizer = optimizer

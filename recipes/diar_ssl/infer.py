@@ -36,7 +36,7 @@ if os.environ.get("DIARIZEN_PLATFORM"):
 import numpy as np
 
 from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
-from diarizen_tpu.config import instantiate, load_toml
+from diarizen_tpu.config import instantiate_model_for_inference, load_toml
 from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.core.io_rttm import load_rttm, load_scp
 from diarizen_tpu.infer import DiarizationPipeline, EmbeddingInference, SlidingInference
@@ -47,7 +47,10 @@ from diarizen_tpu.train.checkpoint import average_checkpoints, load_metrics, sel
 
 
 def build_pipeline(args, config):
-    cfg, params, state = instantiate(
+    # averaged checkpoints overwrite every weight below, so a
+    # training-time wavlm_src path that doesn't resolve on this host may
+    # fall back to the preset architecture (warn-and-proceed)
+    cfg, params, state = instantiate_model_for_inference(
         config["model"]["path"], config["model"].get("args", {})
     )
 

@@ -29,7 +29,7 @@ if os.environ.get("DIARIZEN_PLATFORM"):
 import numpy as np
 
 from diarizen_tpu.cluster import AgglomerativeClustering, VBxClustering
-from diarizen_tpu.config import instantiate, load_toml
+from diarizen_tpu.config import instantiate_model_for_inference, load_toml
 from diarizen_tpu.core.audio import read_audio
 from diarizen_tpu.core.io_rttm import load_rttm, load_scp
 from diarizen_tpu.infer.mc_pipeline import McDiarizationPipeline, McSlidingInference
@@ -60,7 +60,10 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     init_logging(out_dir, filename="infer.log")
 
-    cfg, params, state = instantiate(
+    # averaged checkpoints overwrite every weight below, so a
+    # training-time wavlm_src path that doesn't resolve on this host may
+    # fall back to the preset architecture (warn-and-proceed)
+    cfg, params, state = instantiate_model_for_inference(
         config["model"]["path"], config["model"].get("args", {})
     )
     fcfg = cfg.fusion

@@ -47,6 +47,11 @@ from diarizen_tpu.train.dataset import DataLoader, DiarizationDataset
 
 
 def run(config: dict, exp_dir: Path, further_distill: bool = False) -> None:
+    # distill teacher forwards run train=False; pin exact-f32 flash softmax
+    # so teacher targets share the student's numerics (r5 code review)
+    from diarizen_tpu.ops.flash_attention import set_softmax_mode
+
+    set_softmax_mode("f32")
     logger = init_logging(exp_dir)
     log_config(logger, config)
     margs = config["model"]["args"]
