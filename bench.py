@@ -170,7 +170,40 @@ def bench_config(name, waveform, sr, dur_s, rparams, rcfg, repeats=3, n_stream=4
     }
 
 
+def _wait_for_backend(max_wait_s: int = 900) -> None:
+    """The axon TPU tunnel occasionally drops for minutes at a time
+    (observed round 5: ~1 h outage where backend init hangs or raises
+    Unavailable). Probe device initialization in a subprocess (a hung init
+    can't be cancelled in-process) and retry within a budget so a transient
+    outage doesn't turn the round's bench into a spurious failure."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=240,
+            )
+            if out.returncode == 0 and out.stdout.strip().isdigit():
+                return
+            err = (out.stderr or "").strip().splitlines()
+            err = err[-1] if err else "backend init failed"
+        except subprocess.TimeoutExpired:
+            err = "backend init hung (240 s)"
+        if time.time() > deadline:
+            print(f"bench: device backend unavailable after {attempt} "
+                  f"attempts over {max_wait_s}s: {err}", file=sys.stderr)
+            return  # let the real run surface the real error
+        print(f"bench: waiting for device backend (attempt {attempt}: {err})",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
