@@ -170,7 +170,7 @@ def bench_config(name, waveform, sr, dur_s, rparams, rcfg, repeats=3, n_stream=4
     }
 
 
-def _wait_for_backend(max_wait_s: int = 900) -> None:
+def _wait_for_backend(max_wait_s: int = 3600) -> None:
     """The axon TPU tunnel occasionally drops for minutes at a time
     (observed round 5: ~1 h outage where backend init hangs or raises
     Unavailable). Probe device initialization in a subprocess (a hung init
@@ -187,8 +187,9 @@ def _wait_for_backend(max_wait_s: int = 900) -> None:
                 [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
                 capture_output=True, text=True, timeout=240,
             )
-            if out.returncode == 0 and out.stdout.strip().isdigit():
-                return
+            last = (out.stdout or "").strip().splitlines()
+            if out.returncode == 0 and last and last[-1].strip().isdigit():
+                return  # judge only the LAST stdout line (banners happen)
             err = (out.stderr or "").strip().splitlines()
             err = err[-1] if err else "backend init failed"
         except subprocess.TimeoutExpired:

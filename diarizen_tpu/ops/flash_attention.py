@@ -43,6 +43,27 @@ MAX_BQ = 512  # q-block rows cap (T <= 799 -> usually one block per head)
 _SOFTMAX_MODE = "deferred"
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def softmax_mode_scope(mode: str):
+    """Scoped variant of set_softmax_mode: the mode applies to kernels
+    TRACED inside the `with` block and the previous mode is restored on
+    exit — no process-global leak. Training loops wrap their step calls in
+    softmax_mode_scope("f32") so validation forwards share the training
+    objective's exact numerics while inference processes keep the
+    deferred default."""
+    global _SOFTMAX_MODE
+    assert mode in ("f32", "deferred", "bf16"), mode
+    prev = _SOFTMAX_MODE
+    _SOFTMAX_MODE = mode
+    try:
+        yield
+    finally:
+        _SOFTMAX_MODE = prev
+
+
 def set_softmax_mode(mode: str) -> None:
     """Select the flash kernel's softmax schedule ("f32" | "deferred" |
     "bf16"). Global like wavlm.set_fused_ln; inference forward only.

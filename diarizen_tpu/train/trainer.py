@@ -79,13 +79,6 @@ class Trainer:
         is given (callable -> int), the train step takes a 4th STATIC
         `num_channels` argument drawn per step — the reference MC model's
         random channel truncation (model_wavlm_conformer_mc.py:262-265)."""
-        # training processes pin the exact-f32 flash softmax so VALIDATION
-        # forwards (train=False) share the training objective's numerics —
-        # checkpoint selection between near-tied epochs must not depend on
-        # the inference-only deferred schedule (r5 code review)
-        from diarizen_tpu.ops.flash_attention import set_softmax_mode
-
-        set_softmax_mode("f32")
         self.cfg = cfg
         self.tc = trainer_cfg
         self.optimizer = optimizer
@@ -176,13 +169,20 @@ class Trainer:
         acc_skip = jnp.zeros((), jnp.int32)
         t0 = time.time()
         n = 0
+        # steps trace under the exact-f32 flash softmax so validation
+        # forwards share the training objective's numerics (checkpoint
+        # selection must not depend on the inference-only deferred
+        # schedule); the scope restores the process default on exit
+        from diarizen_tpu.ops.flash_attention import softmax_mode_scope
+
         for i, batch in enumerate(loader):
             sharded = self._shard_batch(batch)
-            if self.channel_sampler is not None:
-                k = int(self.channel_sampler())
-                self.state, metrics = self._train_step(self.state, sharded, rng, k)
-            else:
-                self.state, metrics = self._train_step(self.state, sharded, rng)
+            with softmax_mode_scope("f32"):
+                if self.channel_sampler is not None:
+                    k = int(self.channel_sampler())
+                    self.state, metrics = self._train_step(self.state, sharded, rng, k)
+                else:
+                    self.state, metrics = self._train_step(self.state, sharded, rng)
             n += 1
             bad = metrics["skipped"]
             acc_loss = acc_loss + jnp.where(bad, 0.0, metrics["loss"])
@@ -214,11 +214,14 @@ class Trainer:
         # sync (the reference host-syncs per batch via gather_for_metrics,
         # trainer_dual_opt.py:555-558 — here that would cost a tunnel RTT per
         # batch).
+        from diarizen_tpu.ops.flash_attention import softmax_mode_scope
+
         keys = ("false_alarm", "missed_detection", "confusion",
                 "speech_total", "loss_sum", "num_chunks")
         acc = {k: jnp.zeros(()) for k in keys}
         for batch in loader:
-            m = self._eval_step(self.state, self._shard_batch(batch))
+            with softmax_mode_scope("f32"):  # see train_epoch
+                m = self._eval_step(self.state, self._shard_batch(batch))
             for k in keys:
                 acc[k] = acc[k] + m[k]
         totals = {k: float(v) for k, v in jax.device_get(acc).items()}

@@ -60,9 +60,17 @@ def build_pipeline(args, config):
         metrics, exp_dir / "checkpoints", num=args.avg_ckpt_num,
         metric=args.avg_metric, mode=args.avg_mode,
     )
-    if ckpts:
-        params = average_checkpoints(ckpts)
-        print(f"averaged {len(ckpts)} checkpoints: {[c.name for c in ckpts]}")
+    if not ckpts:
+        # the model may have been built on the preset-architecture fallback
+        # (random init) — scoring without checkpoint weights would silently
+        # emit garbage RTTMs (r5 code review)
+        raise RuntimeError(
+            f"no checkpoints selected from {exp_dir}/checkpoints "
+            f"(metric={args.avg_metric!r}, mode={args.avg_mode!r}): check "
+            "--exp_dir and that metrics.jsonl exists"
+        )
+    params = average_checkpoints(ckpts)
+    print(f"averaged {len(ckpts)} checkpoints: {[c.name for c in ckpts]}")
 
     inference_args = config.get("inference", {}).get("args", {})
     seg_duration = inference_args.get("seg_duration", 8)

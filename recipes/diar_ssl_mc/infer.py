@@ -72,9 +72,14 @@ def main():
         metrics, Path(args.exp_dir) / "checkpoints", num=args.avg_ckpt_num,
         metric=args.avg_metric, mode=args.avg_mode,
     )
-    if ckpts:
-        params = average_checkpoints(ckpts)
-        print(f"averaged {len(ckpts)} checkpoints")
+    if not ckpts:
+        raise RuntimeError(
+            f"no checkpoints selected from {args.exp_dir}/checkpoints "
+            f"(metric={args.avg_metric!r}, mode={args.avg_mode!r}): check "
+            "--exp_dir and that metrics.jsonl exists"
+        )
+    params = average_checkpoints(ckpts)
+    print(f"averaged {len(ckpts)} checkpoints")
 
     inference_args = config.get("inference", {}).get("args", {})
     seg_inf = McSlidingInference(

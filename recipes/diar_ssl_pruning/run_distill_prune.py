@@ -34,6 +34,7 @@ from diarizen_tpu.config import load_toml
 from diarizen_tpu.logger import init_logging, log_config
 from diarizen_tpu.models.build import _load_wavlm
 from diarizen_tpu.models.wavlm import init_wavlm_params
+from diarizen_tpu.ops.flash_attention import softmax_mode_scope
 from diarizen_tpu.prune import (
     DistillConfig,
     PruneConfig,
@@ -47,11 +48,6 @@ from diarizen_tpu.train.dataset import DataLoader, DiarizationDataset
 
 
 def run(config: dict, exp_dir: Path, further_distill: bool = False) -> None:
-    # distill teacher forwards run train=False; pin exact-f32 flash softmax
-    # so teacher targets share the student's numerics (r5 code review)
-    from diarizen_tpu.ops.flash_attention import set_softmax_mode
-
-    set_softmax_mode("f32")
     logger = init_logging(exp_dir)
     log_config(logger, config)
     margs = config["model"]["args"]
@@ -118,7 +114,10 @@ def run(config: dict, exp_dir: Path, further_distill: bool = False) -> None:
             xs = batch["xs"][:, 0, :]  # SDM channel
             if xs.dtype == np.int16:  # compact transport (train/step.py)
                 xs = xs.astype(np.float32) / 32768.0
-            state, metrics = step(state, jnp.asarray(xs), rng)
+            # f32 flash softmax for the teacher's train=False forward:
+            # distill targets must share the student's exact numerics
+            with softmax_mode_scope("f32"):
+                state, metrics = step(state, jnp.asarray(xs), rng)
             losses.append(float(metrics["loss"]))
         record = {
             "epoch": epoch,

@@ -462,7 +462,10 @@ def test_stage_driver_full_run_diar_ssl(workdir, tmp_path):
     env["PYTHONPATH"] = f"{REPO}:{workdir}"
     env["DIARIZEN_PLATFORM"] = "cpu"
     env["CONF"] = str(workdir / "tiny.toml")
-    env["EXP_DIR"] = str(tmp_path / "exp")
+    # run.py derives the exp dir from the config's meta.save_dir + stem;
+    # EXP_DIR must point THERE or stage 2 would select zero checkpoints
+    # (now a loud error — it used to silently score random weights)
+    env["EXP_DIR"] = str(workdir / "exp" / "tiny")
     env["TEST_SETS"] = "SYN"
     result = subprocess.run(
         ["bash", str(stage_dir / "run_stage.sh"), "1"], cwd=stage_dir,
@@ -471,5 +474,7 @@ def test_stage_driver_full_run_diar_ssl(workdir, tmp_path):
     assert result.returncode == 0, (
         f"stdout:\n{result.stdout[-3000:]}\nstderr:\n{result.stderr[-3000:]}"
     )
-    der = json.loads((tmp_path / "exp" / "infer" / "SYN" / "der.json").read_text())
+    der = json.loads(
+        (workdir / "exp" / "tiny" / "infer" / "SYN" / "der.json").read_text()
+    )
     assert "der" in der and np.isfinite(der["der"])
