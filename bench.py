@@ -178,6 +178,14 @@ def _wait_for_backend(max_wait_s: int = 3600) -> None:
     outage doesn't turn the round's bench into a spurious failure."""
     import subprocess
 
+    # CPU-forced contexts (the driver's virtual-mesh dryrun, unit tests)
+    # need no tunnel probe — and the axon sitecustomize would override the
+    # subprocess's JAX_PLATFORMS env and probe the tunnel anyway
+    plat = (os.environ.get("DIARIZEN_PLATFORM") or
+            os.environ.get("JAX_PLATFORMS") or "")
+    if "cpu" in plat:
+        return
+
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
