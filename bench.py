@@ -32,6 +32,24 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (works through the axon tunnel;
+    same setup as tools/probe_*.py). The bench measures amortized
+    steady-state dispatch, never compile time, so the cache only cuts the
+    multi-minute warmup — a warm cache takes the 3-config warmup from
+    ~6 min of remote compiles to seconds."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+    except Exception:  # noqa: BLE001 — cache is an optimization, never required
+        pass
+
+
 CONFIGS = ["base_s80_md", "large_s80_md", "base"]
 FLAGSHIP = "base_s80_md"
 
@@ -213,6 +231,7 @@ def _wait_for_backend(max_wait_s: int = 3600) -> None:
 
 def main():
     _wait_for_backend()
+    _enable_compile_cache()
     import jax
 
     from diarizen_tpu.models.resnet import ResNetConfig, init_resnet_params
